@@ -1,0 +1,610 @@
+"""Pure-numpy token-transform kernel — the reference oracle AND the inner
+loop of the Spark vectorized UDF.
+
+Each function re-expresses one imgforge image op over a 1-D int32 token
+sequence (SURVEY.md §2.1-2.3).  "Width" maps to sequence length; gravity
+uses the reference's x-axis rule (transform.rs:139-156): west-ish -> 0,
+east-ish -> extra, everything else -> extra // 2.
+
+All arithmetic is chosen to be exactly reproducible in ANSI SQL (DuckDB
+oracle): integer floor division, ``floor(x + 0.5)`` rounding, IEEE double
+intermediates — so Spark results hash-match the SQL oracle bit-for-bit.
+
+Canonical op order follows the reference pipeline
+(src/processing/mod.rs:45-246): dpr -> exif auto-rotate -> crop -> resize
+(enlarge-gated) -> min-dims -> zoom -> extend -> padding -> rotate -> flip ->
+adjust -> blur -> sharpen -> pixelate -> watermark -> flatten -> encode.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from tokforge.constants import (
+    DEFAULT_FORMAT,
+    DEFAULT_QUALITY,
+    FORMAT_SPECS,
+    INT16_MAX,
+    INT16_MIN,
+    SENTINEL_BASE,
+    SENTINEL_MAX,
+    VOCAB,
+    WM_FRACTION_DEN,
+    WM_MARGIN_FRAC,
+)
+from tokforge.plans.options import Plan, copy_plan
+
+
+class TransformError(ValueError):
+    """Per-row transform failure (reference: transform.rs TransformError)."""
+
+
+# ---------------------------------------------------------------------------
+# Gravity / geometry helpers
+# ---------------------------------------------------------------------------
+
+_GRAV_START = ("we", "nowe", "sowe")
+_GRAV_END = ("ea", "noea", "soea")
+
+
+def gravity_offset(gravity: Optional[str], extra: int) -> int:
+    """1-D offset for a gravity anchor (reference: transform.rs:139-156 x-rule)."""
+    if gravity in _GRAV_START:
+        return 0
+    if gravity in _GRAV_END:
+        return extra
+    return extra // 2
+
+
+def resample_nearest(t: np.ndarray, target: int) -> np.ndarray:
+    """Nearest-index resample to ``target`` length: out[i] = t[(i*n)//target].
+
+    The token analog of a nearest-neighbour rescale (SURVEY.md §2.1 zoom /
+    min-dims / enlarging resize).  SQL mirror:
+    ``list_transform(range(L), i -> t[(i*n)//L + 1])``.
+    """
+    n = len(t)
+    if target == n:
+        return t
+    if target <= 0 or n == 0:
+        return t[:0]
+    idx = (np.arange(target, dtype=np.int64) * n) // target
+    return t[idx]
+
+
+# ---------------------------------------------------------------------------
+# Geometry ops (SURVEY.md §2.1; reference: transform.rs)
+# ---------------------------------------------------------------------------
+
+
+def resolve_resize_length(resize_type: str, width: int, height: int) -> int:
+    """1-D resize target (reference: transform.rs:159-197).
+
+    Aspect ratio is identically 1 in one dimension, so a zero width derives
+    from height directly.
+    """
+    w, h = width, height
+    if w == 0 and h == 0:
+        raise TransformError("resize requires at least one non-zero dimension")
+    if w == 0:
+        w = h
+    return w
+
+
+def op_resize(
+    t: np.ndarray,
+    resize_type: str,
+    target: int,
+    gravity: Optional[str],
+    enlarge: bool,
+) -> np.ndarray:
+    """fit/fill/force/auto over one sequence (reference: transform.rs:200-340).
+
+    - fit: truncate to target; grow only when enlarging (nearest resample).
+    - fill: gravity-anchored cut of exactly target tokens.
+    - force: out[i] = t[i % n] for i < target (truncate or cyclic repeat-pad).
+    - auto: fill when n >= target else fit (orientation-match analog).
+
+    The enlarge gate (skip entirely when target > n and not enlarge) is
+    applied by the caller, matching process_image (mod.rs:114-127).
+    """
+    n = len(t)
+    if resize_type == "auto":
+        resize_type = "fill" if n >= target else "fit"
+
+    if resize_type == "fit":
+        if target < n:
+            return t[:target]
+        if target > n:
+            return resample_nearest(t, target)
+        return t
+
+    if resize_type == "fill":
+        if target <= n:
+            extra = n - target
+            off = gravity_offset(gravity if gravity else "ce", extra)
+            return t[off : off + target]
+        return resample_nearest(t, target)
+
+    if resize_type == "force":
+        if target == n:
+            return t
+        if n == 0:
+            return t
+        idx = np.arange(target, dtype=np.int64) % n
+        return t[idx]
+
+    raise TransformError(f"Unknown resize type: {resize_type}")
+
+
+def op_crop(t: np.ndarray, width: int, gravity: Optional[str]) -> np.ndarray:
+    """Slice of ``width`` tokens (reference: transform.rs:117-156).
+
+    width == 0 means full length; width is clamped to the source; without a
+    gravity the offset is 0 (the reference parses crop x=y=0).
+    """
+    n = len(t)
+    w = n if width == 0 else min(width, n)
+    if gravity is not None:
+        off = gravity_offset(gravity, n - w)
+    else:
+        off = 0
+    return t[off : off + w]
+
+
+def op_extend(
+    t: np.ndarray, target: int, gravity: Optional[str], bg_token: int
+) -> np.ndarray:
+    """Pad with background token to ``target`` length, gravity-placed
+    (reference: transform.rs:343-383)."""
+    n = len(t)
+    if target < n:
+        raise TransformError(
+            f"extend target {target} must be at least source {n}"
+        )
+    extra = target - n
+    off = gravity_offset(gravity if gravity else "ce", extra)
+    out = np.full(target, bg_token, dtype=t.dtype)
+    out[off : off + n] = t
+    return out
+
+
+def op_padding(t: np.ndarray, left: int, right: int, bg_token: int) -> np.ndarray:
+    """Prepend/append background tokens (reference: transform.rs:386-409;
+    1-D: top/bottom margins are the y-axis and do not apply)."""
+    return np.concatenate(
+        [
+            np.full(left, bg_token, dtype=t.dtype),
+            t,
+            np.full(right, bg_token, dtype=t.dtype),
+        ]
+    )
+
+
+def op_rotate(t: np.ndarray, degrees: int) -> np.ndarray:
+    """Cyclic left shift by (degrees/90) * n//4 — invertible like a rotation
+    (SURVEY.md §2.1; reference: transform.rs:412-423 allows 0/90/180/270)."""
+    n = len(t)
+    if degrees % 360 == 0 or n == 0:
+        return t
+    k = (degrees // 90) % 4
+    shift = (k * n) // 4
+    return np.roll(t, -shift)
+
+
+def op_flip(t: np.ndarray, horizontal: bool, vertical: bool) -> np.ndarray:
+    """Horizontal mirror = reverse; vertical is the y-axis -> identity in 1-D
+    (reference: transform.rs:426-434)."""
+    if horizontal:
+        t = t[::-1]
+    # vertical: identity in one dimension (documented divergence)
+    _ = vertical
+    return t
+
+
+def op_exif_orientation(t: np.ndarray, orientation: int) -> np.ndarray:
+    """EXIF orientation 2-8 as flip/rotate combos
+    (reference: transform.rs:82-114 apply_exif_orientation)."""
+    if orientation == 2:
+        return op_flip(t, True, False)
+    if orientation == 3:
+        return op_rotate(t, 180)
+    if orientation == 4:
+        return op_flip(t, False, True)
+    if orientation == 5:
+        return op_flip(op_rotate(t, 90), True, False)
+    if orientation == 6:
+        return op_rotate(t, 90)
+    if orientation == 7:
+        return op_flip(op_rotate(t, 270), True, False)
+    if orientation == 8:
+        return op_rotate(t, 270)
+    return t
+
+
+def op_min_length(t: np.ndarray, min_width: Optional[int], min_height: Optional[int]) -> np.ndarray:
+    """Upscale by max(scale_w, scale_h) when below minimums
+    (reference: transform.rs:546-581)."""
+    n = len(t)
+    if n == 0:
+        return t
+    scale_w = (min_width / n) if (min_width and n < min_width) else 1.0
+    scale_h = (min_height / n) if (min_height and n < min_height) else 1.0
+    scale = max(scale_w, scale_h)
+    if scale > 1.0:
+        target = math.floor(n * scale + 0.5)
+        return resample_nearest(t, target)
+    return t
+
+
+def op_zoom(t: np.ndarray, zoom: float) -> np.ndarray:
+    """Resample to round(n * zoom) (reference: transform.rs:584-589)."""
+    n = len(t)
+    target = math.floor(n * zoom + 0.5)
+    return resample_nearest(t, max(target, 0))
+
+
+# ---------------------------------------------------------------------------
+# Value ops ("effects", SURVEY.md §2.2; reference: transform.rs:437-633)
+# ---------------------------------------------------------------------------
+
+
+def _moving_average_floor(t: np.ndarray, window: int) -> np.ndarray:
+    """Replicate-padded moving mean, rounded with floor(x + 0.5).
+
+    SQL mirror: for each i, sum t[clamp(j, 0, n-1)] over j in [i-h, i+h],
+    divided by the window size as a double.
+    """
+    n = len(t)
+    if n == 0 or window <= 1:
+        return t.copy()
+    h = window // 2
+    padded = np.concatenate([np.full(h, t[0]), t.astype(np.int64), np.full(h, t[-1])])
+    csum = np.concatenate([[0], np.cumsum(padded)])
+    sums = csum[window:] - csum[:-window]
+    return np.floor(sums / float(window) + 0.5).astype(np.int64)
+
+
+def _blur_window(sigma: float) -> int:
+    return 2 * math.ceil(sigma) + 1
+
+
+def op_blur(t: np.ndarray, sigma: float) -> np.ndarray:
+    """Moving-average smoothing over window 2*ceil(sigma)+1, clamped to the
+    vocab (gaussian-blur analog; reference: transform.rs:437-445)."""
+    out = _moving_average_floor(t, _blur_window(sigma))
+    return np.clip(out, 0, VOCAB - 1).astype(t.dtype)
+
+
+def op_sharpen(t: np.ndarray, sigma: float) -> np.ndarray:
+    """Unsharp mask: 2*t - blur(t), clamped; sigma clamped to [0.1, 10]
+    (reference: transform.rs:592-605)."""
+    sigma_c = min(max(sigma, 0.1), 10.0)
+    blurred = _moving_average_floor(t, _blur_window(sigma_c))
+    out = 2 * t.astype(np.int64) - blurred
+    return np.clip(out, 0, VOCAB - 1).astype(t.dtype)
+
+
+def op_pixelate(t: np.ndarray, amount: int) -> np.ndarray:
+    """Block quantize: each block of ``amount`` tokens takes the block's first
+    token (reference: transform.rs:608-633 nearest down+up scale)."""
+    if amount <= 1:
+        return t
+    n = len(t)
+    idx = (np.arange(n, dtype=np.int64) // amount) * amount
+    return t[idx]
+
+
+def _seq_mean_floor(t: np.ndarray) -> int:
+    """Integer sequence mean, floor division (SQL: list_sum // n)."""
+    if len(t) == 0:
+        return 0
+    return int(np.sum(t.astype(np.int64)) // len(t))
+
+
+def op_brightness(t: np.ndarray, b: int) -> np.ndarray:
+    """clamp(t + b) (reference parses -255..255; options.rs:1184-1190)."""
+    out = t.astype(np.int64) + b
+    return np.clip(out, 0, VOCAB - 1).astype(t.dtype)
+
+
+def op_contrast(t: np.ndarray, c: float) -> np.ndarray:
+    """Scale about the integer sequence mean: clamp(m + floor(c*(t-m)+0.5))."""
+    m = _seq_mean_floor(t)
+    out = m + np.floor(c * (t.astype(np.float64) - m) + 0.5).astype(np.int64)
+    return np.clip(out, 0, VOCAB - 1).astype(t.dtype)
+
+
+def op_saturation(t: np.ndarray, s: float) -> np.ndarray:
+    """Blend each token toward the sequence mean — mirror of the reference's
+    recomb-toward-luma matrix (transform.rs:448-524):
+    clamp(floor(s*t + (1-s)*m + 0.5))."""
+    m = _seq_mean_floor(t)
+    out = np.floor(s * t.astype(np.float64) + (1.0 - s) * float(m) + 0.5).astype(np.int64)
+    return np.clip(out, 0, VOCAB - 1).astype(t.dtype)
+
+
+def watermark_tokens(length: int) -> np.ndarray:
+    """The broadcast watermark asset: sentinel ids cycling through the
+    reserved range (FIXTURES.md §2)."""
+    return (SENTINEL_BASE + (np.arange(length, dtype=np.int64) % 100)).astype(np.int64)
+
+
+def op_watermark(t: np.ndarray, opacity: float, position: str) -> np.ndarray:
+    """Inject a sentinel block of length ceil(n/4) at the 9-way position with
+    a 5% margin; opacity blends toward the sentinel
+    (reference: watermark.rs:100-206)."""
+    n = len(t)
+    if n == 0:
+        return t
+    wm_len = min((n + WM_FRACTION_DEN - 1) // WM_FRACTION_DEN, n)
+    margin = math.floor(n * WM_MARGIN_FRAC + 0.5)
+    if position in _GRAV_START:
+        x = margin
+    elif position in _GRAV_END:
+        x = n - wm_len - margin
+    else:  # no/so/ce and unknown -> centered (reference `_ =>` arm)
+        x = (n - wm_len) // 2
+    x = max(0, min(x, n - wm_len))
+    wm = watermark_tokens(wm_len)
+    out = t.astype(np.int64).copy()
+    seg = out[x : x + wm_len].astype(np.float64)
+    blended = np.floor(opacity * wm.astype(np.float64) + (1.0 - opacity) * seg + 0.5)
+    out[x : x + wm_len] = np.clip(blended, 0, SENTINEL_MAX).astype(np.int64)
+    return out.astype(t.dtype)
+
+
+def op_flatten(t: np.ndarray, bg_token: int) -> np.ndarray:
+    """Background-flatten for lossy output: replace sentinel (alpha-analog)
+    tokens with the background token (reference: transform.rs:527-543,
+    applied only for jpeg output in mod.rs:223-229)."""
+    out = t.copy()
+    out[out >= SENTINEL_BASE] = bg_token
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Encode (SURVEY.md §2.3; reference: save.rs)
+# ---------------------------------------------------------------------------
+
+
+def quality_step(quality: int) -> int:
+    """Quantization step from quality: ceil((100-q)/10) + 1; q=100 -> 1
+    (lossless).  Reference: encoder quality knob, save.rs/mod.rs:231-236."""
+    q = min(max(quality, 1), 100)
+    return (100 - q + 9) // 10 + 1
+
+
+def op_quantize(t: np.ndarray, step: int) -> np.ndarray:
+    """t - t % step (SURVEY.md §2.3 quality mapping)."""
+    if step <= 1:
+        return t
+    return (t - (t % step)).astype(t.dtype)
+
+
+def apply_dtype_rule(t: np.ndarray, rule: str) -> np.ndarray:
+    if rule == "saturate":
+        return np.clip(t, INT16_MIN, INT16_MAX)
+    if rule == "mod256":
+        return t % 256
+    return t
+
+
+def encoded_size_bytes(t: np.ndarray, elem_bytes: int) -> int:
+    """Deterministic "encoded size": run-length-compressed size = number of
+    runs x element width.  This is the token analog of encoder output size —
+    quantization creates runs, so lowering quality genuinely shrinks it
+    (reference: save.rs:46-64 max_bytes re-encode loop)."""
+    n = len(t)
+    if n == 0:
+        return 0
+    runs = 1 + int(np.count_nonzero(t[1:] != t[:-1]))
+    return runs * elem_bytes
+
+
+@dataclass
+class EncodeResult:
+    tokens: np.ndarray
+    dtype: str
+    size_bytes: int
+    quality: int
+
+
+def op_encode(t: np.ndarray, fmt: str, quality: int, max_bytes: Optional[int]) -> EncodeResult:
+    """Format -> dtype recast + lossy quantization + max_bytes quality loop
+    (reference: save.rs:31-118)."""
+    fmt = fmt.lower()
+    spec = FORMAT_SPECS.get(fmt)
+    if spec is None:
+        raise TransformError(f"Unsupported format: {fmt}")
+    dtype, elem_bytes, lossy, rule = spec
+
+    q = min(max(quality, 1), 100)
+    base = t.astype(np.int64)
+
+    if max_bytes is None:
+        out = base
+        if lossy:
+            out = op_quantize(out, quality_step(q))
+        out = apply_dtype_rule(out, rule)
+        return EncodeResult(out, dtype, encoded_size_bytes(out, elem_bytes), q)
+
+    # Quality loop: re-encode at q-5 steps until size fits or q == 1
+    # (reference: save.rs:46-64).
+    quality_now = q
+    while True:
+        out = base
+        if lossy or quality_now < q:
+            out = op_quantize(out, quality_step(quality_now))
+        out = apply_dtype_rule(out, rule)
+        size = encoded_size_bytes(out, elem_bytes)
+        if size <= max_bytes or quality_now <= 1:
+            return EncodeResult(out, dtype, size, quality_now)
+        quality_now = max(quality_now - 5, 1)
+
+
+# ---------------------------------------------------------------------------
+# The full chain (reference: src/processing/mod.rs:45-246 process_image)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TransformOutput:
+    tokens: np.ndarray
+    dtype: str
+    size_bytes: int
+    quality: int
+    fmt: str
+
+
+def default_bg_token(background: Optional[tuple[int, int, int, int]]) -> int:
+    """Background RGBA -> token id: (r<<16 | g<<8 | b) % VOCAB; default 0
+    (reference default background is transparent black, transform.rs:343)."""
+    if background is None:
+        return 0
+    r, g, b = background[0], background[1], background[2]
+    return ((r << 16) | (g << 8) | b) % VOCAB
+
+
+def apply_plan(
+    tokens: np.ndarray,
+    plan: Plan,
+    orientation: int = 1,
+    src_dtype: str = "int32",
+    default_format: Optional[str] = None,
+) -> TransformOutput:
+    """Run the full transform chain on one sequence, in the canonical order
+    of process_image (mod.rs:45-246)."""
+    t = np.asarray(tokens, dtype=np.int64)
+
+    # raw: bypass all processing (reference: service.rs:267-276, 611-643).
+    if plan.raw:
+        spec = FORMAT_SPECS.get(src_dtype, FORMAT_SPECS["int32"])
+        return TransformOutput(t, spec[0], encoded_size_bytes(t, spec[1]), 0, src_dtype)
+
+    # Output format resolution (reference: service.rs:143-149, 291-294):
+    # explicit format, else source-sniffed/configured default, else jpeg.
+    out_fmt = plan.format or default_format or src_dtype or DEFAULT_FORMAT
+    if out_fmt.lower() not in FORMAT_SPECS:
+        raise TransformError(f"Unsupported format: {out_fmt}")
+
+    # skip_processing: bypass when the source format is listed and matches
+    # the target (reference: options.rs:1128-1135, plan field :564).
+    if plan.skip_processing and src_dtype.lower() in plan.skip_processing:
+        if plan.format is None or plan.format.lower() == src_dtype.lower():
+            spec = FORMAT_SPECS.get(src_dtype.lower(), FORMAT_SPECS["int32"])
+            return TransformOutput(
+                t, spec[0], encoded_size_bytes(t, spec[1]), 0, src_dtype
+            )
+
+    plan = copy_plan(plan)
+
+    # DPR pre-scale of resize and padding targets (mod.rs:55-86).
+    if plan.dpr is not None and plan.dpr > 1.0:
+        dpr = plan.dpr
+        if plan.resize is not None:
+            plan.resize.width = math.floor(plan.resize.width * dpr + 0.5)
+            plan.resize.height = math.floor(plan.resize.height * dpr + 0.5)
+        if plan.padding is not None:
+            plan.padding = tuple(
+                math.floor(p * dpr + 0.5) for p in plan.padding
+            )  # type: ignore[assignment]
+
+    # EXIF auto-rotate (mod.rs:91-95; transform.rs:82-114).
+    if plan.auto_rotate:
+        t = op_exif_orientation(t, orientation)
+
+    # Crop (mod.rs:97-101).
+    if plan.crop is not None:
+        t = op_crop(t, plan.crop.width, plan.crop.gravity)
+
+    # Resize with enlarge gate (mod.rs:103-131).
+    resolved_target: Optional[int] = None
+    if plan.resize is not None:
+        target = resolve_resize_length(
+            plan.resize.resizing_type, plan.resize.width, plan.resize.height
+        )
+        resolved_target = target
+        if not plan.enlarge and target > len(t):
+            pass  # gate: do not enlarge
+        else:
+            t = op_resize(
+                t, plan.resize.resizing_type or "fit", target, plan.gravity, plan.enlarge
+            )
+
+    # Min dims (mod.rs:133-146).
+    if plan.min_width is not None or plan.min_height is not None:
+        t = op_min_length(t, plan.min_width, plan.min_height)
+
+    # Zoom (mod.rs:148-152).
+    if plan.zoom is not None:
+        t = op_zoom(t, plan.zoom)
+
+    bg_token = default_bg_token(plan.background)
+
+    # Extend to the resolved resize target (mod.rs:154-170).
+    if plan.extend and resolved_target is not None and len(t) < resolved_target:
+        t = op_extend(t, resolved_target, plan.gravity, bg_token)
+
+    # Padding (mod.rs:172-176): 1-D uses left(=values[3]) / right(=values[1]).
+    if plan.padding is not None:
+        top, right, bottom, left = plan.padding
+        _ = (top, bottom)  # y-axis margins do not apply in 1-D
+        t = op_padding(t, left, right, bg_token)
+
+    # Rotation (mod.rs:178-182).
+    if plan.rotation is not None:
+        t = op_rotate(t, plan.rotation)
+
+    # Flip (mod.rs:184-188).
+    if plan.flip is not None:
+        t = op_flip(t, plan.flip.horizontal, plan.flip.vertical)
+
+    # Adjust: brightness -> contrast -> saturation (mod.rs:190-194;
+    # the reference parses all three but its libvips bindings can only apply
+    # saturation, transform.rs:448-461 — the token engine applies all three,
+    # a documented superset).
+    if plan.adjust is not None:
+        if plan.adjust.brightness != 0:
+            t = op_brightness(t, plan.adjust.brightness)
+        if abs(plan.adjust.contrast - 1.0) > 1e-9:
+            t = op_contrast(t, plan.adjust.contrast)
+        if abs(plan.adjust.saturation - 1.0) > 1e-9:
+            t = op_saturation(t, plan.adjust.saturation)
+
+    # Blur (mod.rs:196-200).
+    if plan.blur is not None:
+        t = op_blur(t, plan.blur)
+
+    # Sharpen (mod.rs:202-206).
+    if plan.sharpen is not None:
+        t = op_sharpen(t, plan.sharpen)
+
+    # Pixelate (mod.rs:208-212).
+    if plan.pixelate is not None and plan.pixelate > 0:
+        t = op_pixelate(t, plan.pixelate)
+
+    # Watermark (mod.rs:214-222).
+    if plan.watermark is not None:
+        t = op_watermark(t, plan.watermark.opacity, plan.watermark.position)
+
+    # Background flatten, jpeg output only (mod.rs:223-229).
+    if plan.background is not None and out_fmt.lower() == "jpeg":
+        t = op_flatten(t, bg_token)
+
+    # Encode (mod.rs:231-236; save.rs).
+    quality = plan.quality
+    if quality is None:
+        quality = plan.save.format_quality.get(out_fmt.lower(), DEFAULT_QUALITY)
+    result = op_encode(t, out_fmt, quality, plan.save.max_bytes)
+    return TransformOutput(
+        result.tokens.astype(np.int64),
+        result.dtype,
+        result.size_bytes,
+        result.quality,
+        out_fmt.lower(),
+    )
