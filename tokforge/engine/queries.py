@@ -1,0 +1,423 @@
+"""The query registry behind ``__spark_entry__.py``: every implemented
+operator gets a (Spark callable, DuckDB oracle SQL) pair.
+
+Transform-op queries run the REAL engine path (request synthesis ->
+single vectorized pandas UDF) and their oracles come from the SQL
+generator in tokforge.engine.oracle, so Spark-vs-DuckDB equality checks
+the full parse+kernel pipeline bit-for-bit.  Analytics/pipeline queries
+are pure built-in DataFrame ops with hand-written SQL mirrors.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tokforge.engine.config import EngineConfig
+from tokforge.engine.oracle import oracle_transform_sql
+from tokforge.engine.transform import (
+    make_sign_udf,
+    make_verify_udf,
+    transform_requests,
+)
+from tokforge.sources.requests import (
+    load_documents,
+    load_embeddings,
+    load_events,
+    requests_df,
+    sql_requests_cte,
+)
+
+CONFIG = EngineConfig()
+
+# ---------------------------------------------------------------------------
+# Transform-operator chains (SURVEY.md §2.1-2.3).  One per operator family;
+# several compose with others deliberately so op ORDER is exercised too.
+# ---------------------------------------------------------------------------
+
+OP_CHAINS: dict[str, str] = {
+    "op_resize_fit": "resize:fit:64/format:int16",
+    "op_resize_fill": "resize:fill:50:0:0:0/gravity:soea/format:png",
+    "op_resize_force": "resize:force:80:0:1/format:jpeg/quality:70",
+    "op_resize_auto": "resize:auto:90/format:tiff",
+    "op_size_sugar": "size:77/format:webp",
+    "op_crop_gravity": "crop:40:0:ea/format:int32",
+    "op_extend": "resize:fit:300:0:1:1/extend:1:nowe/background:10:20:30/format:png",
+    "op_padding": "padding:5:7/background:ff0000/format:png",
+    "op_rotate": "auto_rotate:false/rotate:270/format:png",
+    "op_flip": "flip:1:0/format:png",
+    "op_exif_autorotate": "crop:24:0:ce/format:png",  # auto_rotate defaults on
+    "op_zoom": "zoom:1.5/format:int64",
+    "op_min_length": "min-width:120/format:int32",
+    "op_dpr": "dpr:2.5/resize:fit:40/padding:3/format:png",
+    "op_blur": "blur:2/format:png",
+    "op_sharpen": "sharpen:0.5/format:png",
+    "op_pixelate": "pixelate:7/format:png",
+    "op_adjust": "brightness:100/contrast:1.4/saturation:0.6/format:png",
+    "op_watermark": "watermark:0.7:soea/format:png",
+    "op_flatten": "watermark:1:nowe/background:0:0:255/format:jpeg/quality:90",
+    "op_quality": "quality:30/format:avif",
+    "op_format_gif": "rotate:90/format:gif",
+    "op_format_uint8": "format:uint8",
+    "op_format_default": "crop:50:0:ce",  # no format -> source dtype path
+    "op_raw": "raw",
+    "op_chain_flagship": (
+        "resize:fill:128:0:1:1/gravity:ce/padding:4/rotate:90/brightness:25/"
+        "contrast:1.2/saturation:0.8/blur:1.5/sharpen:0.8/pixelate:4/"
+        "watermark:0.6:soea/background:336699/quality:80/format:jpeg"
+    ),
+}
+
+_PRESETS = {"thumb": "resize:fit:48/quality:60/format:jpeg"}
+_PRESET_CHAIN = "preset:thumb/rotate:180"
+
+
+def _op_query(chain: str, presets: dict[str, str] | None = None):
+    cfg = CONFIG if presets is None else EngineConfig(presets=tuple(presets.items()))
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        req = requests_df(spark, sf_dir, chain)
+        out = transform_requests(req, cfg, verify=False)
+        return out.select(
+            "doc_id", "n_out", "tokens_out", "dtype", "size_bytes", "quality", "fmt"
+        )
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# Signature validation (reference: url.rs:60-72, service.rs:448-470)
+# ---------------------------------------------------------------------------
+
+_SIG_CHAIN = "resize:fit:32/format:int16"
+
+
+def q_sig_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign every request, then corrupt doc_id%10==3 and mark doc_id%17==0
+    `unsafe`; verification (allow_unsigned=False) must reject exactly those."""
+    req = requests_df(spark, sf_dir, _SIG_CHAIN)
+    sign = make_sign_udf(CONFIG)
+    verify = make_verify_udf(CONFIG)
+    d = F.col("doc_id").cast("long")
+    req = req.withColumn(
+        "sig",
+        F.when(d % 17 == 0, F.lit("unsafe"))
+        .when(d % 10 == 3, F.concat(sign(F.col("ops"), F.col("doc_id")), F.lit("x")))
+        .otherwise(sign(F.col("ops"), F.col("doc_id"))),
+    )
+    return req.select(
+        "doc_id",
+        verify(F.col("sig"), F.col("ops"), F.col("doc_id")).alias("sig_valid"),
+    )
+
+
+SQL_SIG_VALIDATE = f"""WITH {sql_requests_cte()}
+SELECT doc_id,
+       (doc_num % 17 != 0 AND doc_num % 10 != 3) AS sig_valid
+FROM req"""
+
+
+# ---------------------------------------------------------------------------
+# Admission: expiry + security caps (reference: service.rs:645-660, limits.rs)
+# ---------------------------------------------------------------------------
+
+_EXPIRES_TS = 1704070800  # 2024-01-01 01:00:00 UTC
+_EXPIRY_CHAIN = f"expires:{_EXPIRES_TS}/crop:10:0/format:int32"
+
+
+def q_admission_expires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    req = requests_df(spark, sf_dir, _EXPIRY_CHAIN)
+    out = transform_requests(req, CONFIG, verify=False)
+    return out.select(
+        "doc_id",
+        F.col("error").eqNullSafe(F.lit("Request expired")).alias("expired"),
+    )
+
+
+SQL_ADMISSION_EXPIRES = f"""WITH {sql_requests_cte()}
+SELECT doc_id, (doc_num % 7200) > 3600 AS expired
+FROM req"""
+
+_LIMITS_CHAIN = "max_src_file_size:512/crop:10:0/format:int32"
+_LIMITS_CONFIG = EngineConfig(allow_security_options=True)
+
+
+def q_admission_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    req = requests_df(spark, sf_dir, _LIMITS_CHAIN)
+    out = transform_requests(req, _LIMITS_CONFIG, verify=False)
+    return out.select(
+        "doc_id",
+        F.col("error").eqNullSafe(F.lit("Source image is too large")).alias("rejected"),
+    )
+
+
+SQL_ADMISSION_LIMITS = f"""WITH {sql_requests_cte()}
+SELECT doc_id, (n_tok * 4 > 512) AS rejected
+FROM req"""
+
+
+def q_presets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _op_query(_PRESET_CHAIN, _PRESETS)(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Windowed aggregations over `events` (rate-limit/metrics analogs,
+# SURVEY.md §2.5)
+# ---------------------------------------------------------------------------
+
+
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-minute per-event_type throughput accounting (token-bucket ledger;
+    reference: app.rs:136-156 rate limiter + monitoring.rs counters)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_WINDOW_TUMBLING = """SELECT time_bucket(INTERVAL 1 MINUTE, ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2"""
+
+
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 60s window, 30s slide — per-type rate with overlap."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "60 seconds", "30 seconds").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+SQL_WINDOW_SLIDING = """SELECT ws AS window_start, event_type, count(*) AS n_events
+FROM (
+  SELECT event_type, ts,
+         unnest([time_bucket(INTERVAL 30 SECOND, ts),
+                 time_bucket(INTERVAL 30 SECOND, ts) - INTERVAL 30 SECOND]) AS ws
+  FROM events
+)
+WHERE ts >= ws AND ts < ws + INTERVAL 60 SECOND
+GROUP BY 1, 2"""
+
+
+def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user with a 5-minute gap (burst coalescing;
+    SURVEY.md §2.5 request-burst sessions)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+SQL_WINDOW_SESSION = """WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 5 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 5 MINUTE AS session_end,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id"""
+
+
+_RL_QUOTA = 5
+
+
+def q_ratelimit_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-bucket admission: within each (event_type, minute)
+    the first N=5 events in event-time order are admitted, the rest get the
+    429 analog (reference: middleware.rs:38-51)."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy(
+        F.window("ts", "1 minute")["start"], F.col("event_type")
+    ).orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        (F.row_number().over(w) <= _RL_QUOTA).alias("admitted"),
+    )
+
+
+SQL_RATELIMIT_ADMISSION = f"""SELECT event_id, event_type,
+       row_number() OVER (
+         PARTITION BY time_bucket(INTERVAL 1 MINUTE, ts), event_type
+         ORDER BY ts, event_id
+       ) <= {_RL_QUOTA} AS admitted
+FROM events"""
+
+
+def q_metrics_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source processing metrics (Prometheus counters analog,
+    monitoring.rs:6-75) over the request table."""
+    req = requests_df(spark, sf_dir, OP_CHAINS["op_resize_fit"])
+    return req.groupBy("source").agg(
+        F.count("*").alias("n_requests"),
+        F.sum("n_tok").alias("sum_tokens"),
+        F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        F.max("n_tok").alias("max_tokens"),
+    )
+
+
+SQL_METRICS_BY_SOURCE = f"""WITH {sql_requests_cte()}
+SELECT source,
+       count(*) AS n_requests,
+       sum(n_tok) AS sum_tokens,
+       round(avg(n_tok), 4) AS avg_tokens,
+       max(n_tok) AS max_tokens
+FROM req
+GROUP BY source"""
+
+
+def q_cache_hit_miss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch analog of the processed-image cache (service.rs:241-250/312-322):
+    replicate each request 3x at +10min steps; the event-time-first row per
+    cache key computes (MISS), later ones are served from state (HIT)."""
+    req = requests_df(spark, sf_dir, OP_CHAINS["op_resize_fit"])
+    reps = spark.range(3).select(F.col("id").alias("rep"))
+    req3 = req.crossJoin(F.broadcast(reps)).select(
+        "doc_id",
+        "rep",
+        (F.unix_timestamp("ts") + F.col("rep") * 600).alias("ts_unix"),
+        F.concat(F.lit("src:/"), F.col("ops"), F.lit("/"), F.col("doc_id")).alias(
+            "cache_key"
+        ),
+    )
+    w = Window.partitionBy("cache_key").orderBy("ts_unix", "rep")
+    return req3.select(
+        "doc_id",
+        "rep",
+        F.when(F.row_number().over(w) == 1, "MISS").otherwise("HIT").alias(
+            "cache_status"
+        ),
+    )
+
+
+SQL_CACHE_HIT_MISS = f"""WITH {sql_requests_cte()}
+SELECT doc_id, rep,
+       CASE WHEN rep = 0 THEN 'MISS' ELSE 'HIT' END AS cache_status
+FROM req, (SELECT unnest([0, 1, 2]) AS rep)"""
+
+
+_TOPK = 20
+
+
+def q_topk_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k outputs by encoded size (limit/top-k surface; deterministic
+    tie-break on doc_id)."""
+    req = requests_df(spark, sf_dir, OP_CHAINS["op_chain_flagship"])
+    out = transform_requests(req, CONFIG, verify=False)
+    w = Window.orderBy(F.desc("size_bytes"), F.col("doc_id"))
+    return (
+        out.select("doc_id", "size_bytes", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= _TOPK)
+    )
+
+
+def _sql_topk_longest() -> str:
+    inner = oracle_transform_sql(OP_CHAINS["op_chain_flagship"])
+    return f"""WITH txout AS ({inner})
+SELECT doc_id, size_bytes, rank FROM (
+  SELECT doc_id, size_bytes,
+         row_number() OVER (ORDER BY size_bytes DESC, doc_id) AS rank
+  FROM txout
+) WHERE rank <= {_TOPK}"""
+
+
+def q_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The /info endpoint analog (service.rs:340-425 image_info): post-
+    transform metadata incl. sentinel detection (has_alpha analog)."""
+    req = requests_df(spark, sf_dir, OP_CHAINS["op_watermark"])
+    out = transform_requests(req, CONFIG, verify=False)
+    return out.select(
+        "doc_id",
+        "n_out",
+        "dtype",
+        "size_bytes",
+        F.array_max("tokens_out").alias("max_token"),
+        (F.array_max("tokens_out") >= 50300).alias("has_sentinel"),
+    )
+
+
+def _sql_info() -> str:
+    inner = oracle_transform_sql(OP_CHAINS["op_watermark"])
+    return f"""WITH txout AS ({inner})
+SELECT doc_id, n_out, dtype, size_bytes,
+       list_max(tokens_out) AS max_token,
+       list_max(tokens_out) >= 50300 AS has_sentinel
+FROM txout"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, chain in OP_CHAINS.items():
+        q[name] = _op_query(chain)
+    q["op_presets"] = q_presets
+    q["sig_validate"] = q_sig_validate
+    q["admission_expires"] = q_admission_expires
+    q["admission_limits"] = q_admission_limits
+    q["window_tumbling"] = q_window_tumbling
+    q["window_sliding"] = q_window_sliding
+    q["window_session"] = q_window_session
+    q["ratelimit_admission"] = q_ratelimit_admission
+    q["metrics_by_source"] = q_metrics_by_source
+    q["cache_hit_miss"] = q_cache_hit_miss
+    q["topk_longest"] = q_topk_longest
+    q["info"] = q_info
+    return q
+
+
+def oracle_sql() -> dict[str, str]:
+    o: dict[str, str] = {}
+    for name, chain in OP_CHAINS.items():
+        o[name] = oracle_transform_sql(chain)
+    o["op_presets"] = oracle_transform_sql(_PRESET_CHAIN, _PRESETS)
+    o["sig_validate"] = SQL_SIG_VALIDATE
+    o["admission_expires"] = SQL_ADMISSION_EXPIRES
+    o["admission_limits"] = SQL_ADMISSION_LIMITS
+    o["window_tumbling"] = SQL_WINDOW_TUMBLING
+    o["window_sliding"] = SQL_WINDOW_SLIDING
+    o["window_session"] = SQL_WINDOW_SESSION
+    o["ratelimit_admission"] = SQL_RATELIMIT_ADMISSION
+    o["metrics_by_source"] = SQL_METRICS_BY_SOURCE
+    o["cache_hit_miss"] = SQL_CACHE_HIT_MISS
+    o["topk_longest"] = _sql_topk_longest()
+    o["info"] = _sql_info()
+    return o

@@ -232,11 +232,13 @@ def op_min_length(t: np.ndarray, min_width: Optional[int], min_height: Optional[
     n = len(t)
     if n == 0:
         return t
-    scale_w = (min_width / n) if (min_width and n < min_width) else 1.0
-    scale_h = (min_height / n) if (min_height and n < min_height) else 1.0
-    scale = max(scale_w, scale_h)
-    if scale > 1.0:
-        target = math.floor(n * scale + 0.5)
+    # max(scale_w, scale_h) * n rounds back to the larger applicable minimum,
+    # so compute the integer target directly (exact, SQL-mirrorable).
+    target = max(
+        min_width if (min_width and n < min_width) else 0,
+        min_height if (min_height and n < min_height) else 0,
+    )
+    if target > n:
         return resample_nearest(t, target)
     return t
 
