@@ -1,0 +1,93 @@
+"""Kernel-vs-SQL-oracle parity: for a corpus of chains covering every
+operator, the DuckDB SQL emitted by tokforge.engine.oracle must reproduce
+the numpy kernel exactly on the sf0.001 derived request rows.  This pins
+the one drift surface between the Spark engine and the driver's oracle."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from tests.conftest import SF_SMALL
+from tokforge.engine.oracle import oracle_transform_sql
+from tokforge.operators.kernel import apply_plan
+from tokforge.plans.options import parse_chain
+from tokforge.sources.requests import sql_requests_cte
+
+CHAINS = [
+    "resize:fit:64/format:int16",
+    "resize:fill:50:0:0:0/gravity:soea/format:png",
+    "resize:fill:50/gravity:nowe/format:png",
+    "resize:force:80:0:1/format:jpeg/quality:70",
+    "resize:auto:90/format:tiff",
+    "resize:fit:0:48/format:png",
+    "size:77/format:webp",
+    "crop:40:0:ce/format:int32",
+    "crop:40:0:ea/rotate:90/format:gif",
+    "crop:0:0/format:png",
+    "padding:5:7/background:ff0000/format:png",
+    "padding:1:2:3:4/format:png",
+    "resize:fit:300:0:1:1/extend:1:nowe/background:10:20:30/format:png",
+    "resize:fill:500:0:0:1/extend:1/format:png",
+    "zoom:1.5/format:int64",
+    "zoom:0.25/format:png",
+    "min-width:120/format:int32",
+    "min-width:50/min-height:90/format:png",
+    "flip:1:0/format:png",
+    "flip:0:1/format:png",
+    "rotate:180/format:png",
+    "auto_rotate:false/rotate:270/format:png",
+    "blur:2/format:png",
+    "blur:0.5/format:png",
+    "sharpen:0.5/format:png",
+    "sharpen:12/format:png",  # clamps to 10
+    "pixelate:7/format:png",
+    "brightness:100/contrast:1.4/saturation:0.6/format:png",
+    "brightness:-200/format:png",
+    "saturation:2.5/format:png",
+    "watermark:0.7:soea/format:png",
+    "watermark:1:nowe/background:0:0:255/format:jpeg/quality:90",
+    "watermark:0.3:ce/format:png",
+    "dpr:2.5/resize:fit:40/padding:3/format:png",
+    "quality:30/format:avif",
+    "quality:100/format:jpeg",
+    "format:uint8",
+    "format:gif",
+    "raw",
+    "crop:50:0:ce",  # default-format fallback to src dtype
+    "expires:1704070800/crop:10:0/format:int32",
+]
+
+
+@pytest.fixture(scope="module")
+def req_rows():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMALL}/documents.parquet'"
+    )
+    df = con.execute(
+        f"WITH {sql_requests_cte()} "
+        "SELECT doc_id, orientation, src_dtype, tokens FROM req ORDER BY doc_num"
+    ).df()
+    return con, df
+
+
+@pytest.mark.parametrize("chain", CHAINS)
+def test_oracle_matches_kernel(req_rows, chain):
+    con, df = req_rows
+    sql = oracle_transform_sql(chain)
+    odf = con.execute(sql).df().set_index("doc_id")
+    plan = parse_chain(chain)
+    # sample every 7th row for speed; full sweep runs in tools/check_correctness
+    for _, row in df.iloc[::7].iterrows():
+        out = apply_plan(
+            np.array(row.tokens),
+            plan,
+            orientation=int(row.orientation),
+            src_dtype=row.src_dtype,
+        )
+        o = odf.loc[row.doc_id]
+        assert list(out.tokens) == list(o["tokens_out"]), (chain, row.doc_id)
+        assert out.dtype == o["dtype"] and out.size_bytes == o["size_bytes"]
+        assert out.fmt == o["fmt"]
