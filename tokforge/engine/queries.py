@@ -385,10 +385,24 @@ FROM txout"""
 # ---------------------------------------------------------------------------
 
 
+def _pipeline_registry():
+    from tokforge.pipeline.dedup import DEDUP_QUERIES
+    from tokforge.pipeline.similarity import SIMILARITY_QUERIES
+    from tokforge.pipeline.text import TEXT_QUERIES
+
+    merged = {}
+    merged.update(DEDUP_QUERIES)
+    merged.update(SIMILARITY_QUERIES)
+    merged.update(TEXT_QUERIES)
+    return merged
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, chain in OP_CHAINS.items():
         q[name] = _op_query(chain)
+    for name, (fn, _sql) in _pipeline_registry().items():
+        q[name] = fn
     q["op_presets"] = q_presets
     q["sig_validate"] = q_sig_validate
     q["admission_expires"] = q_admission_expires
@@ -420,4 +434,6 @@ def oracle_sql() -> dict[str, str]:
     o["cache_hit_miss"] = SQL_CACHE_HIT_MISS
     o["topk_longest"] = _sql_topk_longest()
     o["info"] = _sql_info()
+    for name, (_fn, sql) in _pipeline_registry().items():
+        o[name] = sql
     return o

@@ -1,0 +1,265 @@
+"""Deduplication operators over the token/document tables: exact
+(hash-groupBy), MinHash + LSH banding, SimHash, and n-gram Jaccard.
+
+All hash arithmetic is integer-only and shared between the Spark column
+expressions and the DuckDB oracle SQL, so results hash-match exactly.
+At 100 TB the shapes matter: exact dedup is one shuffle on the content
+hash; MinHash/LSH shuffles once on (band_idx, band_val) — never all-pairs;
+the Jaccard verifier only runs inside candidate buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tokforge.sources.requests import (
+    load_documents,
+    requests_df,
+    sql_requests_cte,
+)
+
+# MinHash parameters: h_j(g) = (A[j] * g + B[j]) % P over 3-token shingles.
+P = 2147483647  # 2^31 - 1 (Mersenne prime)
+SHINGLE_K = 3
+N_HASHES = 8
+N_BANDS = 4  # bands of 2 hashes each
+A = (1103515245, 1299709, 15485863, 32452843, 49979687, 67867967, 86028121, 104395301)
+B = (12345, 524287, 6700417, 999331, 15487469, 2750159, 7368787, 9999889)
+
+# Coarse feature space for LSH candidate generation: with fine 31-bit
+# shingle ids the synthetic docs share nothing; g % FEATURE_SPACE gives the
+# overlap structure LSH is meant to exploit.
+FEATURE_SPACE = 4096
+
+SIMHASH_BITS = 16
+SIMHASH_MULT = 2654435761
+SIMHASH_MOD = 2147483648
+
+
+def _shingle_expr_spark(tokens, n_tok):
+    """g(s) = ((t[s]*50261 + t[s+1]) % P * 50261 + t[s+2]) % P for s in
+    [0, n-3]; empty when n < 3."""
+    return F.when(
+        n_tok >= SHINGLE_K,
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), (n_tok - SHINGLE_K).cast("long")),
+            lambda s: (
+                (
+                    (
+                        F.element_at(tokens, (s + 1).cast("int")).cast("long") * 50261
+                        + F.element_at(tokens, (s + 2).cast("int")).cast("long")
+                    )
+                    % P
+                    * 50261
+                    + F.element_at(tokens, (s + 3).cast("int")).cast("long")
+                )
+                % P
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
+_SQL_SHINGLES = (
+    f"CASE WHEN n_tok >= {SHINGLE_K} THEN "
+    f"list_transform(range(0, n_tok - {SHINGLE_K} + 1), s -> "
+    f"((CAST(tokens[s + 1] AS BIGINT) * 50261 + tokens[s + 2]) % {P} * 50261 "
+    f"+ tokens[s + 3]) % {P}) "
+    "ELSE CAST([] AS BIGINT[]) END"
+)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one shuffle on md5(text); keeper = min doc_id.
+    At scale this is a straight hash aggregation with map-side combine."""
+    docs = load_documents(spark, sf_dir)
+    return docs.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+SQL_DEDUP_EXACT = """SELECT md5(text) AS content_hash,
+       min(doc_id) AS keeper_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature (8 hashes over 3-token shingles)."""
+    req = requests_df(spark, sf_dir, "minhash")
+    sh = _shingle_expr_spark(F.col("tokens"), F.col("n_tok"))
+    df = req.select("doc_id", sh.alias("shingles"))
+    cols = [
+        F.array_min(
+            F.transform(F.col("shingles"), lambda g: (g * A[j] + B[j]) % P)
+        ).alias(f"h{j}")
+        for j in range(N_HASHES)
+    ]
+    return df.select("doc_id", *cols)
+
+
+def _sql_minhash_signatures() -> str:
+    hashes = ", ".join(
+        f"list_min(list_transform(shingles, g -> (g * {A[j]} + {B[j]}) % {P})) AS h{j}"
+        for j in range(N_HASHES)
+    )
+    return f"""WITH {sql_requests_cte()},
+sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM req)
+SELECT doc_id, {hashes} FROM sh"""
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: coarse features -> minhash -> bands of 2 ->
+    self-join on (band_idx, band_val).  The join key is the band bucket, so
+    the shuffle is by bucket — all-pairs never materializes."""
+    req = requests_df(spark, sf_dir, "minhash")
+    sh = _shingle_expr_spark(F.col("tokens"), F.col("n_tok"))
+    feats = F.array_distinct(F.transform(sh, lambda g: g % FEATURE_SPACE))
+    df = req.select("doc_id", feats.alias("feats")).filter(F.size("feats") > 0)
+    hcols = [
+        F.array_min(
+            F.transform(F.col("feats"), lambda g: (g * A[j] + B[j]) % P)
+        ).alias(f"h{j}")
+        for j in range(N_HASHES)
+    ]
+    sig = df.select("doc_id", *hcols)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        (
+                            (F.col(f"h{2 * i}") * 31 + F.col(f"h{2 * i + 1}")) % P
+                        ).alias("band_val"),
+                    )
+                    for i in range(N_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_idx", "b.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id").cast("long") < F.col("b.doc_id").cast("long")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def _sql_lsh_pairs() -> str:
+    hashes = ", ".join(
+        f"list_min(list_transform(feats, g -> (g * {A[j]} + {B[j]}) % {P})) AS h{j}"
+        for j in range(N_HASHES)
+    )
+    band_structs = ", ".join(
+        f"{{'bi': {i}, 'bv': (h{2 * i} * 31 + h{2 * i + 1}) % {P}}}"
+        for i in range(N_BANDS)
+    )
+    return f"""WITH {sql_requests_cte()},
+sh AS (SELECT doc_id,
+              list_distinct(list_transform({_SQL_SHINGLES}, g -> g % {FEATURE_SPACE})) AS feats
+       FROM req),
+sig AS (SELECT doc_id, {hashes} FROM sh WHERE len(feats) > 0),
+bands AS (
+  SELECT doc_id, b.bi AS band_idx, b.bv AS band_val
+  FROM sig, unnest([{band_structs}]) AS u(b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+ AND CAST(a.doc_id AS BIGINT) < CAST(b.doc_id AS BIGINT)"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over token ids: per-bit majority vote of hashed
+    features, computed entirely with built-in array aggregation."""
+    req = requests_df(spark, sf_dir, "simhash")
+    h = f"(CAST(x AS BIGINT) * {SIMHASH_MULT}) % {SIMHASH_MOD}"
+    bit_terms = []
+    for bit in range(SIMHASH_BITS):
+        vote = (
+            f"aggregate(transform(tokens, x -> "
+            f"CASE WHEN (({h}) div {2**bit}) % 2 = 1 THEN 1L ELSE -1L END), 0L, (acc, v) -> acc + v)"
+        )
+        bit_terms.append(f"CASE WHEN {vote} > 0 THEN {2**bit}L ELSE 0L END")
+    simhash = " + ".join(bit_terms)
+    return req.select("doc_id", F.expr(simhash).alias("simhash16"))
+
+
+def _sql_simhash() -> str:
+    h = f"(CAST(x AS BIGINT) * {SIMHASH_MULT}) % {SIMHASH_MOD}"
+    bit_terms = []
+    for bit in range(SIMHASH_BITS):
+        vote = (
+            f"list_sum(list_transform(tokens, x -> "
+            f"CASE WHEN ({h} // {2**bit}) % 2 = 1 THEN 1 ELSE -1 END))"
+        )
+        bit_terms.append(f"CASE WHEN {vote} > 0 THEN {2**bit} ELSE 0 END")
+    simhash = " + ".join(bit_terms)
+    return f"""WITH {sql_requests_cte()}
+SELECT doc_id, CAST({simhash} AS BIGINT) AS simhash16 FROM req"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard over distinct token sets for candidate pairs inside
+    (lang, n_tok) buckets — the verify stage after LSH blocking.  The join
+    shuffles on the bucket key only; buckets bound the pair blowup."""
+    docs = load_documents(spark, sf_dir).select("doc_id", "lang")
+    req = requests_df(spark, sf_dir, "jaccard").withColumn(
+        "doc_num", F.col("doc_id").cast("long")
+    )
+    toks = req.join(
+        docs.withColumn("doc_id", F.col("doc_id").cast("string")), "doc_id"
+    ).select("doc_id", "doc_num", "lang", "n_tok", F.array_distinct("tokens").alias("tset"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tset"), F.col("b.tset")))
+    union = F.size(F.array_union(F.col("a.tset"), F.col("b.tset")))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.n_tok") == F.col("b.n_tok"))
+            & (F.col("a.doc_num") < F.col("b.doc_num")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+        )
+    )
+
+
+def _sql_ngram_jaccard() -> str:
+    return f"""WITH {sql_requests_cte()},
+toks AS (
+  SELECT r.doc_id, r.doc_num, d.lang, r.n_tok, list_distinct(r.tokens) AS tset
+  FROM req r JOIN documents d ON r.doc_num = d.doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.tset, b.tset))), 4) AS jaccard
+FROM toks a JOIN toks b
+  ON a.lang = b.lang AND a.n_tok = b.n_tok AND a.doc_num < b.doc_num"""
+
+
+DEDUP_QUERIES = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash_signatures": (q_minhash_signatures, _sql_minhash_signatures()),
+    "dedup_lsh_pairs": (q_lsh_pairs, _sql_lsh_pairs()),
+    "dedup_simhash": (q_simhash, _sql_simhash()),
+    "dedup_ngram_jaccard": (q_ngram_jaccard, _sql_ngram_jaccard()),
+}

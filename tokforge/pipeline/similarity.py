@@ -1,0 +1,145 @@
+"""Similarity search over the `embeddings` table (array<float>, dim 64):
+brute-force cosine top-k as the exactness baseline, and an IVF-style
+coarse-quantizer assignment as the scale path (probe one cell instead of
+the whole corpus).
+
+At 100 TB the brute-force path is a broadcast join (tiny query set against
+a huge corpus — no shuffle of the corpus), and the IVF path turns top-k
+into a per-cell local problem: shuffle once on cell id, search within.
+
+Cosine math is done in DOUBLE with identical accumulation order on both
+engines and rounded to 4 decimals so Spark and DuckDB hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tokforge.sources.requests import load_embeddings
+
+N_QUERIES = 4  # vec_id < 4 act as the query set
+TOP_K = 10
+N_CELLS = 4  # IVF coarse cells = the query vectors as centroids
+
+
+def _dot_spark(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm_spark(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+_SQL_DOT = (
+    "list_sum(list_transform(range(len({a})), "
+    "i -> CAST({a}[i + 1] AS DOUBLE) * CAST({b}[i + 1] AS DOUBLE)))"
+)
+_SQL_NORM = (
+    "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the query vectors against the corpus,
+    rank per query.  The corpus never shuffles; ranking is one window over
+    (query, cos) — at scale replace row_number with a per-partition top-k
+    + final merge, which AQE handles via partial aggregation."""
+    emb = load_embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.select("vec_id", "embedding")
+    joined = corpus.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    cos = F.round(
+        _dot_spark(F.col("qvec"), F.col("embedding"))
+        / (_norm_spark(F.col("qvec")) * _norm_spark(F.col("embedding"))),
+        4,
+    )
+    ranked = joined.select("qid", "vec_id", cos.alias("cos_sim"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.col("vec_id"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "vec_id", "cos_sim", "rank")
+    )
+
+
+def _sql_knn_bruteforce() -> str:
+    dot = _SQL_DOT.format(a="q.embedding", b="c.embedding")
+    nq = _SQL_NORM.format(a="q.embedding")
+    nc = _SQL_NORM.format(a="c.embedding")
+    return f"""WITH scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         round(({dot}) / (({nq}) * ({nc})), 4) AS cos_sim
+  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT qid, vec_id, cos_sim, rank FROM (
+  SELECT qid, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}"""
+
+
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse assignment: each vector goes to the cell of its most
+    similar centroid (centroids = the first N_CELLS vectors, broadcast).
+    Downstream ANN probes only the query's cell."""
+    emb = load_embeddings(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
+    )
+    scored = emb.select("vec_id", "embedding").crossJoin(F.broadcast(cents))
+    cos = F.round(
+        _dot_spark(F.col("cvec"), F.col("embedding"))
+        / (_norm_spark(F.col("cvec")) * _norm_spark(F.col("embedding"))),
+        4,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.col("cell"))
+    assigned = (
+        scored.select("vec_id", "cell", cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    return assigned.groupBy("cell").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.avg("cos"), 4).alias("avg_cos_to_centroid"),
+    )
+
+
+def _sql_ivf_assign() -> str:
+    dot = _SQL_DOT.format(a="q.embedding", b="c.embedding")
+    nq = _SQL_NORM.format(a="q.embedding")
+    nc = _SQL_NORM.format(a="c.embedding")
+    return f"""WITH scored AS (
+  SELECT c.vec_id AS vec_id, q.vec_id AS cell,
+         round(({dot}) / (({nq}) * ({nc})), 4) AS cos
+  FROM embeddings q JOIN embeddings c ON true
+  WHERE q.vec_id < {N_CELLS}
+), assigned AS (
+  SELECT vec_id, cell, cos,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rk
+  FROM scored
+)
+SELECT cell, count(*) AS n_vectors, round(avg(cos), 4) AS avg_cos_to_centroid
+FROM assigned WHERE rk = 1
+GROUP BY cell"""
+
+
+SIMILARITY_QUERIES = {
+    "knn_bruteforce": (q_knn_bruteforce, _sql_knn_bruteforce()),
+    "ann_ivf_assign": (q_ivf_assign, _sql_ivf_assign()),
+}
