@@ -1,0 +1,155 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "tokens_per_sec": ...}
+
+The flagship number is sustained tokens/sec through the full signed-request
+transform pipeline (sign -> verify -> parse -> vectorized kernel), the
+BASELINE.md target metric.  REPLICAS scales the synthesized request volume
+(sf0.1 documents x 24 ~ 120k requests, ~18M tokens).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from tokforge.engine.config import EngineConfig  # noqa: E402
+from tokforge.engine.session import build_spark  # noqa: E402
+from tokforge.engine.transform import make_sign_udf, transform_requests  # noqa: E402
+from tokforge.sources.requests import requests_df  # noqa: E402
+
+REPLICAS = int(os.environ.get("TOKFORGE_BENCH_REPLICAS", "24"))
+
+FLAGSHIP_CHAIN = (
+    "resize:fill:128:0:1:1/gravity:ce/padding:4/rotate:90/brightness:25/"
+    "contrast:1.2/saturation:0.8/blur:1.5/sharpen:0.8/pixelate:4/"
+    "watermark:0.6:soea/background:336699/quality:80/format:jpeg"
+)
+SIMPLE_CHAIN = "resize:fit:64/crop:48:0:ce/quality:80/format:int16"
+
+
+def bench_transform(spark, sf_dir, cfg, chain, verify):
+    req = requests_df(spark, sf_dir, chain, replicas=REPLICAS)
+    if verify:
+        sign = make_sign_udf(cfg)
+        req = req.withColumn("sig", sign(F.col("ops"), F.col("doc_id")))
+    t0 = time.time()
+    out = transform_requests(req, cfg, verify=verify)
+    row = out.agg(
+        F.count("*").alias("rows"),
+        F.sum("n_tok").alias("tokens_in"),
+        F.sum("n_out").alias("tokens_out"),
+    ).collect()[0]
+    dt = time.time() - t0
+    return dt, int(row["tokens_in"]), int(row["rows"])
+
+
+def bench_windows(spark, sf_dir):
+    from tokforge.engine.queries import q_window_session, q_window_tumbling
+
+    t0 = time.time()
+    q_window_tumbling(spark, sf_dir).agg(F.sum("n_events")).collect()
+    q_window_session(spark, sf_dir).agg(F.sum("n_events")).collect()
+    return time.time() - t0
+
+
+def bench_dedup(spark, sf_dir):
+    from tokforge.pipeline.dedup import q_lsh_pairs, q_simhash
+
+    t0 = time.time()
+    q_simhash(spark, sf_dir).agg(F.sum("simhash16")).collect()
+    q_lsh_pairs(spark, sf_dir).count()
+    return time.time() - t0
+
+
+def bench_knn(spark, sf_dir):
+    from tokforge.pipeline.similarity import q_knn_bruteforce
+
+    t0 = time.time()
+    q_knn_bruteforce(spark, sf_dir).count()
+    return time.time() - t0
+
+
+def bench_stream_cache(spark, sf_dir, cfg):
+    """availableNow streaming pass: watermark + stateful cache + idempotent
+    sink over 2 event-time drops of the request stream."""
+    from tokforge.streaming.job import read_sink, transform_stream
+
+    tmp = tempfile.mkdtemp(prefix="tokforge-bench-")
+    req = requests_df(spark, sf_dir, SIMPLE_CHAIN, replicas=2)
+    for i in range(2):
+        req.withColumn(
+            "ts", (F.unix_timestamp("ts") + i * 600).cast("timestamp")
+        ).write.mode("append").parquet(f"{tmp}/in/drop={i}")
+    t0 = time.time()
+    query, _ = transform_stream(
+        spark,
+        f"{tmp}/in",
+        f"{tmp}/out",
+        f"{tmp}/ckpt",
+        cfg,
+        verify=False,
+        available_now=True,
+    )
+    query.awaitTermination(600)
+    n = read_sink(spark, f"{tmp}/out").count()
+    dt = time.time() - t0
+    return dt, n
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = build_spark(app_name="tokforge-bench", master=f"local[{cpus}]",
+                        shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = EngineConfig()
+
+    queries: dict[str, float] = {}
+
+    # warm the JVM + python workers once (excluded from timings)
+    requests_df(spark, sf_dir, SIMPLE_CHAIN).limit(100).count()
+
+    dt_flag, tokens_in, rows = bench_transform(spark, sf_dir, cfg, FLAGSHIP_CHAIN, True)
+    queries["transform_flagship_signed"] = round(dt_flag, 3)
+    dt_simple, tokens_simple, _ = bench_transform(spark, sf_dir, cfg, SIMPLE_CHAIN, False)
+    queries["transform_simple"] = round(dt_simple, 3)
+    queries["windows"] = round(bench_windows(spark, sf_dir), 3)
+    queries["dedup"] = round(bench_dedup(spark, sf_dir), 3)
+    queries["knn"] = round(bench_knn(spark, sf_dir), 3)
+    dt_stream, stream_rows = bench_stream_cache(spark, sf_dir, cfg)
+    queries["stream_cache"] = round(dt_stream, 3)
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "tokforge headline suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf_dir,
+                "cpus": cpus,
+                "rows_flagship": rows,
+                "tokens_per_sec_flagship": int(tokens_in / dt_flag),
+                "tokens_per_sec_simple": int(tokens_simple / dt_simple),
+                "stream_rows": stream_rows,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

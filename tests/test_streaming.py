@@ -1,0 +1,269 @@
+"""Structured Streaming surface tests: cache state HIT/MISS + TTL,
+exactly-once idempotent sink, checkpoint resume, watermark late-data
+drop, tumbling/session windows, observe metrics.  All event time comes
+from the data (replay-deterministic); availableNow triggers bound runtime.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_SMALL
+from tokforge.engine.config import EngineConfig
+from tokforge.engine.transform import make_sign_udf
+from tokforge.sources.requests import requests_df
+from tokforge.streaming.job import (
+    read_sink,
+    session_burst_query,
+    transform_stream,
+    tumbling_rate_query,
+)
+from tokforge.streaming.sink import IdempotentParquetSink, MetricsListener
+
+CHAIN = "resize:fit:32/quality:80/format:int16"
+CFG = EngineConfig()
+
+
+def _finish(query, timeout=45):
+    """Timer-less availableNow queries terminate on their own; queries with
+    registered state timers keep scheduling timeout batches instead, so
+    after a grace period stop once the source is drained (an empty batch
+    completed after at least one data batch)."""
+    query.awaitTermination(timeout)
+    deadline = time.time() + 180
+    while time.time() < deadline and query.isActive:
+        progress = query.recentProgress
+        if any(p["numInputRows"] == 0 for p in progress) and any(
+            p["numInputRows"] > 0 for p in progress
+        ):
+            break
+        time.sleep(0.5)
+    if query.isActive:
+        query.stop()
+    query.awaitTermination(60)
+
+
+def _signed_requests(spark, limit=40):
+    req = requests_df(spark, SF_SMALL, CHAIN).limit(limit)
+    sign = make_sign_udf(CFG)
+    return req.withColumn("sig", sign(F.col("ops"), F.col("doc_id")))
+
+
+def _write_drops(spark, req, path, n=3, step=600):
+    for i in range(n):
+        req.withColumn(
+            "ts", (F.unix_timestamp("ts") + i * step).cast("timestamp")
+        ).write.mode("append").parquet(f"{path}/drop={i}")
+
+
+def test_cache_state_hit_miss_end_to_end(spark, tmp_path):
+    in_path, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    req = _signed_requests(spark)
+    _write_drops(spark, req, in_path, n=3)
+
+    query, sink = transform_stream(
+        spark, in_path, out_dir, ckpt, CFG, verify=True, available_now=True
+    )
+    _finish(query)
+
+    result = read_sink(spark, out_dir)
+    per_key = (
+        result.groupBy("cache_key")
+        .agg(
+            F.sum(F.when(F.col("cache_status") == "MISS", 1).otherwise(0)).alias("miss"),
+            F.sum(F.when(F.col("cache_status") == "HIT", 1).otherwise(0)).alias("hit"),
+            F.count_distinct("n_out").alias("n_variants"),
+        )
+        .collect()
+    )
+    assert len(per_key) == 40
+    for r in per_key:
+        assert r["miss"] == 1 and r["hit"] == 2, r
+        assert r["n_variants"] == 1  # HITs serve the exact cached tokens
+
+
+def test_cache_hits_match_batch_engine(spark, tmp_path):
+    """Streaming MISS output must equal the batch engine (token equality)."""
+    from tokforge.engine.transform import transform_requests
+
+    in_path, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    req = _signed_requests(spark, limit=20)
+    req.write.mode("append").parquet(f"{in_path}/drop=0")
+    query, _ = transform_stream(
+        spark, in_path, out_dir, ckpt, CFG, verify=False, available_now=True
+    )
+    _finish(query)
+    stream_rows = {
+        r["doc_id"]: list(r["tokens_out"])
+        for r in read_sink(spark, out_dir).collect()
+    }
+    batch_rows = {
+        r["doc_id"]: list(r["tokens_out"])
+        for r in transform_requests(req, CFG, verify=False).collect()
+    }
+    assert stream_rows == batch_rows
+
+
+def test_exactly_once_ledger_skips_replay(spark, tmp_path):
+    sink = IdempotentParquetSink(str(tmp_path / "sink"))
+    df = spark.range(5).select(F.col("id").alias("n_out"))
+    sink(df, 7)
+    first = spark.read.parquet(str(tmp_path / "sink/data/batch_id=7")).count()
+    sink(df.union(df), 7)  # replay with different content must be a no-op
+    again = spark.read.parquet(str(tmp_path / "sink/data/batch_id=7")).count()
+    assert first == again == 5
+    assert sink.skipped_replays == 1
+
+
+def test_checkpoint_resume_processes_only_new_data(spark, tmp_path):
+    in_path, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    req = _signed_requests(spark, limit=10)
+    req.write.mode("append").parquet(f"{in_path}/drop=0")
+    q1, _ = transform_stream(spark, in_path, out_dir, ckpt, CFG, verify=False)
+    _finish(q1)
+    n1 = read_sink(spark, out_dir).count()
+    assert n1 == 10
+
+    # new drop arrives; resume from the same checkpoint
+    req.withColumn("ts", (F.unix_timestamp("ts") + 600).cast("timestamp")).write.mode(
+        "append"
+    ).parquet(f"{in_path}/drop=1")
+    q2, _ = transform_stream(spark, in_path, out_dir, ckpt, CFG, verify=False)
+    _finish(q2)
+    result = read_sink(spark, out_dir)
+    assert result.count() == 20
+    # the resumed batch saw existing state: all second-drop rows are HITs
+    hits = result.filter(F.col("cache_status") == "HIT").count()
+    assert hits == 10
+
+
+def test_cache_ttl_eviction(spark, tmp_path):
+    in_path, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    req = _signed_requests(spark, limit=5)
+    req.write.mode("append").parquet(f"{in_path}/drop=0")
+    q1, _ = transform_stream(
+        spark, in_path, out_dir, ckpt, CFG, verify=False, ttl_ms=500
+    )
+    _finish(q1)
+    time.sleep(1.5)  # let the processing-time TTL lapse
+    req.withColumn("ts", (F.unix_timestamp("ts") + 600).cast("timestamp")).write.mode(
+        "append"
+    ).parquet(f"{in_path}/drop=1")
+    q2, _ = transform_stream(
+        spark, in_path, out_dir, ckpt, CFG, verify=False, ttl_ms=500
+    )
+    _finish(q2)
+    statuses = (
+        read_sink(spark, out_dir)
+        .groupBy("cache_status")
+        .count()
+        .rdd.collectAsMap()
+    )
+    # state evicted between runs -> second drop recomputes (all MISS)
+    assert statuses.get("MISS", 0) == 10 and statuses.get("HIT", 0) == 0
+
+
+def test_tumbling_window_with_late_data_drop(spark, tmp_path):
+    in_path, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    req = _signed_requests(spark, limit=30)
+    # run 1: base data only -> the watermark (max ts - 2min) is checkpointed
+    req.write.mode("append").parquet(f"{in_path}/drop=0")
+    q1, _ = tumbling_rate_query(spark, in_path, out_dir, ckpt, watermark="2 minutes")
+    _finish(q1)
+
+    # run 2: one very late row (2h earlier, behind the stored watermark)
+    # plus a future sentinel that closes every real window
+    late = req.limit(1).withColumn(
+        "ts", (F.unix_timestamp("ts") - 7200).cast("timestamp")
+    )
+    sentinel = req.limit(1).withColumn(
+        "ts", (F.unix_timestamp("ts") + 86400).cast("timestamp")
+    ).withColumn("source", F.lit("__sentinel__"))
+    late.union(sentinel).write.mode("append").parquet(f"{in_path}/drop=1")
+    q2, _ = tumbling_rate_query(spark, in_path, out_dir, ckpt, watermark="2 minutes")
+    _finish(q2)
+
+    result = read_sink(spark, out_dir).filter(F.col("source") != "__sentinel__")
+    # the late row was behind the watermark -> dropped; totals = drop 0 only
+    assert result.agg(F.sum("n_requests")).first()[0] == 30
+
+
+def test_session_windows_streaming(spark, tmp_path):
+    in_path, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    req = _signed_requests(spark, limit=20)
+    req.write.mode("append").parquet(f"{in_path}/drop=0")
+    sentinel = req.limit(1).withColumn(
+        "ts", (F.unix_timestamp("ts") + 86400).cast("timestamp")
+    )
+    sentinel.write.mode("append").parquet(f"{in_path}/drop=1")
+    query, _ = session_burst_query(spark, in_path, out_dir, ckpt, gap="30 seconds")
+    _finish(query)
+    result = read_sink(spark, out_dir)
+    rows = result.collect()
+    assert sum(r["n_requests"] for r in rows) >= 20
+    for r in rows:
+        assert r["session_end"] >= r["session_start"]
+
+
+def test_observe_metrics_listener(spark, tmp_path):
+    in_path, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        req = _signed_requests(spark, limit=8)
+        req.write.mode("append").parquet(f"{in_path}/drop=0")
+        query, _ = transform_stream(spark, in_path, out_dir, ckpt, CFG, verify=False)
+        _finish(query)
+        time.sleep(1)
+        metrics = [m for m in listener.observed if m["name"] == "request_metrics"]
+        # empty scheduling batches report zero rows; sum across the run
+        assert metrics
+        assert sum(m["n_rows"] or 0 for m in metrics) == 8
+        assert sum(m["cache_misses"] or 0 for m in metrics) == 8
+    finally:
+        spark.streams.removeListener(listener)
+
+
+def test_sink_lineage_columns(spark, tmp_path):
+    in_path, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    req = _signed_requests(spark, limit=5)
+    req.write.mode("append").parquet(f"{in_path}/drop=0")
+    query, _ = transform_stream(spark, in_path, out_dir, ckpt, CFG, verify=False)
+    _finish(query)
+    cols = read_sink(spark, out_dir).columns
+    assert "batch_id" in cols and "partition_id" in cols

@@ -28,7 +28,7 @@ from pyspark.sql.types import (
 
 from tokforge.engine.config import DEFAULT_CONFIG, EngineConfig
 from tokforge.functions.signing import sign_series, verify_series
-from tokforge.operators.kernel import TransformError, apply_plan
+from tokforge.operators.kernel import TransformError
 from tokforge.plans.options import OptionParseError, Plan, parse_chain
 
 TRANSFORM_RESULT_SCHEMA = StructType(
@@ -71,6 +71,13 @@ def _transform_batch(
     ts_unix: pd.Series,
     config: EngineConfig,
 ) -> pd.DataFrame:
+    """Length-bucketed vectorized execution: rows are grouped by
+    (ops, n_tok, src_dtype) and each bucket runs through the rectangular
+    kernel as one (m, n) matrix — the whole chain is numpy axis ops with
+    zero per-row Python (SURVEY.md §4: the libvips fused-pipeline analog).
+    """
+    from tokforge.operators.kernel_rect import apply_plan_rect
+
     n = len(tokens)
     out_tokens = np.empty(n, dtype=object)
     out_n = np.zeros(n, dtype=np.int32)
@@ -82,23 +89,31 @@ def _transform_batch(
 
     tok_vals = tokens.to_numpy(dtype=object)
     ops_vals = ops.to_numpy(dtype=object)
-    ori_vals = orientation.to_numpy()
+    ori_vals = np.asarray(orientation.to_numpy(), dtype=np.int64)
     dt_vals = src_dtype.to_numpy(dtype=object)
-    ts_vals = ts_unix.to_numpy()
+    ts_vals = np.asarray(ts_unix.to_numpy(), dtype=np.int64)
+    lengths = np.fromiter((len(t) for t in tok_vals), dtype=np.int64, count=n)
 
+    # bucket rows by (ops, length, src_dtype)
+    buckets: dict[tuple, list[int]] = {}
     for i in range(n):
-        plan = _plan_for(ops_vals[i], config)
+        buckets.setdefault((ops_vals[i], lengths[i], dt_vals[i]), []).append(i)
+
+    for (ops_str, length, sdt), idx_list in buckets.items():
+        idx = np.asarray(idx_list, dtype=np.int64)
+        plan = _plan_for(ops_str, config)
         if isinstance(plan, OptionParseError):
-            out_error[i] = str(plan)
+            out_error[idx] = str(plan)
             continue
 
         # Expiry gate (reference: service.rs:645-660; event-time, never
         # wall-clock, so replay is deterministic).
-        if plan.expires is not None and ts_vals[i] > plan.expires:
-            out_error[i] = "Request expired"
-            continue
-
-        t = np.asarray(tok_vals[i], dtype=np.int64)
+        if plan.expires is not None:
+            expired = ts_vals[idx] > plan.expires
+            out_error[idx[expired]] = "Request expired"
+            idx = idx[~expired]
+            if len(idx) == 0:
+                continue
 
         # Security caps (reference: limits.rs:26-86, honored only when the
         # deployment allows per-request security options, service.rs:550-570).
@@ -109,31 +124,38 @@ def _transform_batch(
                 cap_bytes = plan.max_src_file_size
             if plan.max_src_resolution is not None:
                 cap_res = plan.max_src_resolution
-        if cap_bytes is not None and len(t) * 4 > cap_bytes:
-            out_error[i] = "Source image is too large"
+        if cap_bytes is not None and length * 4 > cap_bytes:
+            out_error[idx] = "Source image is too large"
             continue
-        if cap_res is not None and len(t) > cap_res * 1_000_000:
-            out_error[i] = "Source image resolution is too large"
+        if cap_res is not None and length > cap_res * 1_000_000:
+            out_error[idx] = "Source image resolution is too large"
             continue
 
+        mat = (
+            np.vstack([np.asarray(tok_vals[i], dtype=np.int64) for i in idx])
+            if length > 0
+            else np.empty((len(idx), 0), dtype=np.int64)
+        )
         try:
-            result = apply_plan(
-                t,
+            result = apply_plan_rect(
+                mat,
                 plan,
-                orientation=int(ori_vals[i]),
-                src_dtype=str(dt_vals[i]),
+                orientations=ori_vals[idx],
+                src_dtype=str(sdt),
                 default_format=config.default_format,
             )
         except (TransformError, OptionParseError) as exc:
-            out_error[i] = str(exc)
+            out_error[idx] = str(exc)
             continue
 
-        out_tokens[i] = result.tokens.astype(np.int32)
-        out_n[i] = len(result.tokens)
-        out_dtype[i] = result.dtype
-        out_size[i] = result.size_bytes
-        out_quality[i] = result.quality
-        out_fmt[i] = result.fmt
+        mat32 = result.tokens.astype(np.int32)
+        for row_pos, i in enumerate(idx):
+            out_tokens[i] = mat32[row_pos]
+        out_n[idx] = result.tokens.shape[1]
+        out_dtype[idx] = result.dtype
+        out_size[idx] = result.size_bytes
+        out_quality[idx] = result.quality
+        out_fmt[idx] = result.fmt
 
     return pd.DataFrame(
         {

@@ -1,0 +1,370 @@
+"""Rectangular (length-bucketed) vectorized transform kernel.
+
+Rows sharing (ops chain, n_tok) form an (m, n) int64 matrix; every op in
+the chain then applies across all m rows at once with numpy axis ops —
+the batch-level fusion analog of libvips' demand-driven SIMD pipeline
+(reference: src/processing/transform.rs ops chain; SURVEY.md §4).
+
+Semantics are IDENTICAL to tokforge.operators.kernel.apply_plan (the
+per-row oracle); tests/test_kernel_rect.py asserts row-for-row equality.
+Every transform is length-uniform for a fixed plan, so a rectangular
+bucket stays rectangular through the whole chain.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from tokforge.operators.alloc import tune_allocator  # noqa: F401  (side effect)
+
+from tokforge.constants import (
+    DEFAULT_FORMAT,
+    DEFAULT_QUALITY,
+    FORMAT_SPECS,
+    INT16_MAX,
+    INT16_MIN,
+    SENTINEL_BASE,
+    SENTINEL_MAX,
+    VOCAB,
+    WM_FRACTION_DEN,
+    WM_MARGIN_FRAC,
+)
+from tokforge.operators.kernel import (
+    TransformError,
+    default_bg_token,
+    gravity_offset,
+    quality_step,
+    resolve_resize_length,
+)
+from tokforge.plans.options import Plan, copy_plan
+
+
+@dataclass
+class RectOutput:
+    tokens: np.ndarray  # (m, n_out) int64
+    dtype: str
+    size_bytes: np.ndarray  # (m,) int64
+    quality: np.ndarray  # (m,) int32
+    fmt: str
+
+
+def _resample_idx(n: int, target: int) -> np.ndarray:
+    return (np.arange(target, dtype=np.int64) * n) // target
+
+
+def _rot_cols(mat: np.ndarray, degrees: int) -> np.ndarray:
+    n = mat.shape[1]
+    if degrees % 360 == 0 or n == 0:
+        return mat
+    k = (degrees // 90) % 4
+    return np.roll(mat, -((k * n) // 4), axis=1)
+
+
+def _exif_rect(mat: np.ndarray, orientations: np.ndarray) -> np.ndarray:
+    """Per-orientation masked application; shifts depend only on n, which
+    is constant across the bucket."""
+    out = mat
+    uniq = np.unique(orientations)
+    if len(uniq) == 1 and uniq[0] == 1:
+        return out
+    out = mat.copy()
+    for o in uniq:
+        mask = orientations == o
+        sub = mat[mask]
+        if o == 2:
+            sub = sub[:, ::-1]
+        elif o == 3:
+            sub = _rot_cols(sub, 180)
+        elif o == 5:
+            sub = _rot_cols(sub, 90)[:, ::-1]
+        elif o == 6:
+            sub = _rot_cols(sub, 90)
+        elif o == 7:
+            sub = _rot_cols(sub, 270)[:, ::-1]
+        elif o == 8:
+            sub = _rot_cols(sub, 270)
+        out[mask] = sub
+    return out
+
+
+def _moving_mean_rect(mat: np.ndarray, window: int) -> np.ndarray:
+    """Replicate-padded moving mean along axis 1, floor(x+0.5) rounded."""
+    m, n = mat.shape
+    if n == 0 or window <= 1:
+        return mat.copy()
+    h = window // 2
+    padded = np.concatenate(
+        [np.repeat(mat[:, :1], h, axis=1), mat, np.repeat(mat[:, -1:], h, axis=1)],
+        axis=1,
+    )
+    csum = np.concatenate(
+        [np.zeros((m, 1), dtype=np.int64), np.cumsum(padded, axis=1)], axis=1
+    )
+    sums = csum[:, window:] - csum[:, :-window]
+    return np.floor(sums / float(window) + 0.5).astype(np.int64)
+
+
+def _row_means_floor(mat: np.ndarray) -> np.ndarray:
+    if mat.shape[1] == 0:
+        return np.zeros(mat.shape[0], dtype=np.int64)
+    return mat.sum(axis=1) // mat.shape[1]
+
+
+def _runs_per_row(mat: np.ndarray) -> np.ndarray:
+    if mat.shape[1] == 0:
+        return np.zeros(mat.shape[0], dtype=np.int64)
+    return 1 + np.count_nonzero(mat[:, 1:] != mat[:, :-1], axis=1).astype(np.int64)
+
+
+def _apply_dtype_rule_rect(mat: np.ndarray, rule: str) -> np.ndarray:
+    if rule == "saturate":
+        return np.clip(mat, INT16_MIN, INT16_MAX)
+    if rule == "mod256":
+        return mat % 256
+    return mat
+
+
+def apply_plan_rect(
+    mat: np.ndarray,
+    plan: Plan,
+    orientations: np.ndarray,
+    src_dtype: str,
+    default_format: str | None = None,
+) -> RectOutput:
+    """Vectorized mirror of kernel.apply_plan over an (m, n) bucket whose
+    rows share one src_dtype (the caller sub-buckets by it when the chain
+    leaves the output format implicit)."""
+    m = mat.shape[0]
+    t = mat.astype(np.int64, copy=False)
+
+    if plan.raw:
+        spec = FORMAT_SPECS.get(src_dtype, FORMAT_SPECS["int32"])
+        return RectOutput(
+            t,
+            spec[0],
+            _runs_per_row(t) * spec[1] if t.shape[1] else np.zeros(m, dtype=np.int64),
+            np.zeros(m, dtype=np.int32),
+            src_dtype,
+        )
+
+    out_fmt = plan.format or default_format or src_dtype or DEFAULT_FORMAT
+    if out_fmt.lower() not in FORMAT_SPECS:
+        raise TransformError(f"Unsupported format: {out_fmt}")
+
+    if plan.skip_processing and src_dtype.lower() in plan.skip_processing:
+        if plan.format is None or plan.format.lower() == src_dtype.lower():
+            spec = FORMAT_SPECS.get(src_dtype.lower(), FORMAT_SPECS["int32"])
+            return RectOutput(
+                t,
+                spec[0],
+                _runs_per_row(t) * spec[1]
+                if t.shape[1]
+                else np.zeros(m, dtype=np.int64),
+                np.zeros(m, dtype=np.int32),
+                src_dtype,
+            )
+
+    plan = copy_plan(plan)
+    if plan.dpr is not None and plan.dpr > 1.0:
+        dpr = plan.dpr
+        if plan.resize is not None:
+            plan.resize.width = math.floor(plan.resize.width * dpr + 0.5)
+            plan.resize.height = math.floor(plan.resize.height * dpr + 0.5)
+        if plan.padding is not None:
+            plan.padding = tuple(
+                math.floor(p * dpr + 0.5) for p in plan.padding
+            )  # type: ignore[assignment]
+
+    if plan.auto_rotate:
+        t = _exif_rect(t, orientations)
+
+    if plan.crop is not None:
+        n = t.shape[1]
+        w = n if plan.crop.width == 0 else min(plan.crop.width, n)
+        off = gravity_offset(plan.crop.gravity, n - w) if plan.crop.gravity else 0
+        t = t[:, off : off + w]
+
+    resolved_target = None
+    if plan.resize is not None:
+        n = t.shape[1]
+        target = resolve_resize_length(
+            plan.resize.resizing_type, plan.resize.width, plan.resize.height
+        )
+        resolved_target = target
+        rtype = plan.resize.resizing_type or "fit"
+        if not plan.enlarge and target > n:
+            pass
+        else:
+            if rtype == "auto":
+                rtype = "fill" if n >= target else "fit"
+            if rtype == "fit":
+                if target < n:
+                    t = t[:, :target]
+                elif target > n and n > 0:
+                    t = t[:, _resample_idx(n, target)]
+            elif rtype == "fill":
+                if target <= n:
+                    off = gravity_offset(plan.gravity if plan.gravity else "ce", n - target)
+                    t = t[:, off : off + target]
+                elif n > 0:
+                    t = t[:, _resample_idx(n, target)]
+            elif rtype == "force":
+                if target != n and n > 0:
+                    t = t[:, np.arange(target, dtype=np.int64) % n]
+            else:
+                raise TransformError(f"Unknown resize type: {rtype}")
+
+    if plan.min_width is not None or plan.min_height is not None:
+        n = t.shape[1]
+        if n > 0:
+            tgt = max(
+                plan.min_width if (plan.min_width and n < plan.min_width) else 0,
+                plan.min_height if (plan.min_height and n < plan.min_height) else 0,
+            )
+            if tgt > n:
+                t = t[:, _resample_idx(n, tgt)]
+
+    if plan.zoom is not None:
+        n = t.shape[1]
+        target = max(math.floor(n * plan.zoom + 0.5), 0)
+        if n > 0 and target != n:
+            t = t[:, _resample_idx(n, target)] if target > 0 else t[:, :0]
+
+    bg_token = default_bg_token(plan.background)
+
+    if plan.extend and resolved_target is not None and t.shape[1] < resolved_target:
+        n = t.shape[1]
+        extra = resolved_target - n
+        off = gravity_offset(plan.gravity if plan.gravity else "ce", extra)
+        out = np.full((m, resolved_target), bg_token, dtype=np.int64)
+        out[:, off : off + n] = t
+        t = out
+
+    if plan.padding is not None:
+        _top, right, _bottom, left = plan.padding
+        out = np.full((m, left + t.shape[1] + right), bg_token, dtype=np.int64)
+        out[:, left : left + t.shape[1]] = t
+        t = out
+
+    if plan.rotation is not None:
+        t = _rot_cols(t, plan.rotation)
+
+    if plan.flip is not None and plan.flip.horizontal:
+        t = t[:, ::-1]
+
+    if plan.adjust is not None:
+        if plan.adjust.brightness != 0:
+            t = np.clip(t + plan.adjust.brightness, 0, VOCAB - 1)
+        if abs(plan.adjust.contrast - 1.0) > 1e-9:
+            mm = _row_means_floor(t)[:, None]
+            t = np.clip(
+                mm
+                + np.floor(
+                    plan.adjust.contrast * (t.astype(np.float64) - mm) + 0.5
+                ).astype(np.int64),
+                0,
+                VOCAB - 1,
+            )
+        if abs(plan.adjust.saturation - 1.0) > 1e-9:
+            s = plan.adjust.saturation
+            mm = _row_means_floor(t)[:, None].astype(np.float64)
+            t = np.clip(
+                np.floor(s * t.astype(np.float64) + (1.0 - s) * mm + 0.5).astype(
+                    np.int64
+                ),
+                0,
+                VOCAB - 1,
+            )
+
+    if plan.blur is not None:
+        window = 2 * math.ceil(plan.blur) + 1
+        t = np.clip(_moving_mean_rect(t, window), 0, VOCAB - 1)
+
+    if plan.sharpen is not None:
+        sigma_c = min(max(plan.sharpen, 0.1), 10.0)
+        window = 2 * math.ceil(sigma_c) + 1
+        t = np.clip(2 * t - _moving_mean_rect(t, window), 0, VOCAB - 1)
+
+    if plan.pixelate is not None and plan.pixelate > 1:
+        n = t.shape[1]
+        idx = (np.arange(n, dtype=np.int64) // plan.pixelate) * plan.pixelate
+        t = t[:, idx]
+
+    if plan.watermark is not None and t.shape[1] > 0:
+        n = t.shape[1]
+        wm_len = min((n + WM_FRACTION_DEN - 1) // WM_FRACTION_DEN, n)
+        margin = math.floor(n * WM_MARGIN_FRAC + 0.5)
+        pos = plan.watermark.position
+        if pos in ("we", "nowe", "sowe"):
+            x = margin
+        elif pos in ("ea", "noea", "soea"):
+            x = n - wm_len - margin
+        else:
+            x = (n - wm_len) // 2
+        x = max(0, min(x, n - wm_len))
+        o = plan.watermark.opacity
+        wm = (SENTINEL_BASE + (np.arange(wm_len, dtype=np.int64) % 100)).astype(
+            np.float64
+        )
+        t = t.copy()
+        seg = t[:, x : x + wm_len].astype(np.float64)
+        t[:, x : x + wm_len] = np.clip(
+            np.floor(o * wm[None, :] + (1.0 - o) * seg + 0.5), 0, SENTINEL_MAX
+        ).astype(np.int64)
+
+    if plan.background is not None and out_fmt.lower() == "jpeg":
+        t = np.where(t >= SENTINEL_BASE, bg_token, t)
+
+    # encode
+    fmt = out_fmt.lower()
+    dtype, elem_bytes, lossy, rule = FORMAT_SPECS[fmt]
+    quality = plan.quality
+    if quality is None:
+        quality = plan.save.format_quality.get(fmt, DEFAULT_QUALITY)
+    q = min(max(quality, 1), 100)
+
+    if plan.save.max_bytes is None:
+        out = t
+        if lossy:
+            step = quality_step(q)
+            if step > 1:
+                out = out - (out % step)
+        out = _apply_dtype_rule_rect(out, rule)
+        sizes = _runs_per_row(out) * elem_bytes
+        return RectOutput(
+            out, dtype, sizes, np.full(m, q, dtype=np.int32), fmt
+        )
+
+    # max_bytes: vectorized quality walk-down with a convergence mask
+    max_bytes = plan.save.max_bytes
+    quality_now = np.full(m, q, dtype=np.int32)
+    out = np.empty_like(t)
+    sizes = np.zeros(m, dtype=np.int64)
+    pending = np.ones(m, dtype=bool)
+    while pending.any():
+        qs = quality_now[pending]
+        sub = t[pending]
+        enc = np.empty_like(sub)
+        for uq in np.unique(qs):
+            mask_u = qs == uq
+            e = sub[mask_u]
+            if lossy or uq < q:
+                step = quality_step(int(uq))
+                if step > 1:
+                    e = e - (e % step)
+            enc[mask_u] = e
+        enc = _apply_dtype_rule_rect(enc, rule)
+        sz = _runs_per_row(enc) * elem_bytes
+        done = (sz <= max_bytes) | (qs <= 1)
+        idx_pending = np.nonzero(pending)[0]
+        done_idx = idx_pending[done]
+        out[done_idx] = enc[done]
+        sizes[done_idx] = sz[done]
+        still = idx_pending[~done]
+        quality_now[still] = np.maximum(quality_now[still] - 5, 1)
+        pending[:] = False
+        pending[still] = True
+    return RectOutput(out, dtype, sizes, quality_now, fmt)

@@ -1,0 +1,128 @@
+"""Streaming job assembly (SURVEY.md §3 Spark shape):
+
+    readStream(requests) -> withWatermark -> signature gate ->
+    stateful cache (applyInPandasWithState) -> observe ->
+    foreachBatch idempotent sink
+
+plus the windowed-aggregation queries (tumbling/sliding/session) that give
+the rate-limit/burst-coalescing surface.  Every job is checkpointed and
+resumable; all time comes from the `ts` column (no wall clock in the row
+path) so replays are byte-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tokforge.engine.config import DEFAULT_CONFIG, EngineConfig
+from tokforge.engine.transform import make_verify_udf
+from tokforge.streaming.cache_state import with_cache_state
+from tokforge.streaming.sink import IdempotentParquetSink, observe_requests
+from tokforge.streaming.source import read_request_stream
+
+
+def transform_stream(
+    spark: SparkSession,
+    in_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    config: EngineConfig = DEFAULT_CONFIG,
+    verify: bool = True,
+    ttl_ms: int = 0,
+    watermark: str = "10 minutes",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """The flagship streaming pipeline.  Returns (query, sink)."""
+    stream = read_request_stream(spark, in_path, max_files_per_trigger)
+    stream = stream.withWatermark("ts", watermark)
+    if verify:
+        verify_udf = make_verify_udf(config)
+        stream = stream.withColumn(
+            "sig_valid", verify_udf(F.col("sig"), F.col("ops"), F.col("doc_id"))
+        ).filter(F.col("sig_valid"))
+    cached = with_cache_state(stream, config, ttl_ms)
+    cached = observe_requests(cached)
+    sink = IdempotentParquetSink(out_dir)
+    writer = (
+        cached.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="1 second")
+    return writer.start(), sink
+
+
+def tumbling_rate_query(
+    spark: SparkSession,
+    in_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 minutes",
+    available_now: bool = True,
+):
+    """Per-source per-minute throughput accounting with late-data handling
+    (the rate-limiter ledger as a streaming aggregation).  Watermark bounds
+    state: windows older than (max ts - watermark) finalize and evict."""
+    stream = read_request_stream(spark, in_path).withWatermark("ts", watermark)
+    agg = (
+        stream.groupBy(F.window("ts", "1 minute").alias("w"), "source")
+        .agg(F.count("*").alias("n_requests"), F.sum("n_tok").alias("sum_tokens"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "source",
+            "n_requests",
+            "sum_tokens",
+        )
+    )
+    sink = IdempotentParquetSink(out_dir)
+    writer = (
+        agg.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), sink
+
+
+def session_burst_query(
+    spark: SparkSession,
+    in_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 seconds",
+    key_prefix_len: int = 2,
+    watermark: str = "2 minutes",
+):
+    """Session windows keyed by doc_id prefix: request-burst coalescing
+    (SURVEY.md §2.5)."""
+    stream = read_request_stream(spark, in_path).withWatermark("ts", watermark)
+    agg = (
+        stream.withColumn("key_prefix", F.substring("doc_id", 1, key_prefix_len))
+        .groupBy(F.session_window("ts", gap).alias("w"), "key_prefix")
+        .agg(F.count("*").alias("n_requests"))
+        .select(
+            "key_prefix",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_requests",
+        )
+    )
+    sink = IdempotentParquetSink(out_dir)
+    return (
+        agg.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start(),
+        sink,
+    )
+
+
+def read_sink(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.option("recursiveFileLookup", "true").parquet(f"{out_dir}/data")
