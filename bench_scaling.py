@@ -1,0 +1,141 @@
+"""N -> 4N scaling evidence (BASELINE.json north rule): run the identical
+flagship pipeline at local[8] and local[32] on the same input and report
+throughput at both plus scaling efficiency = (thr_4N / thr_N) / 4.
+
+Each parallelism level runs in its own subprocess (fresh JVM) so the two
+measurements are independent.  A warm-up pass runs first at each level —
+the steady-state number is what a long-running executor delivers.
+
+Usage:
+  python bench_scaling.py            # orchestrates both runs, writes BENCH.md
+  python bench_scaling.py --run 8    # child mode: one measurement, JSON out
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+FLAGSHIP_CHAIN = (
+    "resize:fill:128:0:1:1/gravity:ce/padding:4/rotate:90/brightness:25/"
+    "contrast:1.2/saturation:0.8/blur:1.5/sharpen:0.8/pixelate:4/"
+    "watermark:0.6:soea/background:336699/quality:80/format:jpeg"
+)
+
+
+def run_one(cpus: int) -> dict:
+    import pyspark.sql.functions as F
+
+    from tokforge.engine.config import EngineConfig
+    from tokforge.engine.session import build_spark
+    from tokforge.engine.transform import make_sign_udf, transform_requests
+    from tokforge.sources.requests import requests_df
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    replicas = int(os.environ.get("TOKFORGE_BENCH_REPLICAS", "24"))
+    spark = build_spark(
+        app_name=f"tokforge-scaling-{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = EngineConfig()
+
+    def once() -> tuple[float, int]:
+        req = requests_df(spark, sf_dir, FLAGSHIP_CHAIN, replicas=replicas)
+        sign = make_sign_udf(cfg)
+        req = req.withColumn("sig", sign(F.col("ops"), F.col("doc_id")))
+        # spread work evenly across all cores regardless of input file count
+        req = req.repartition(cpus * 2)
+        t0 = time.time()
+        out = transform_requests(req, cfg, verify=True)
+        row = out.agg(
+            F.sum("n_tok").alias("tokens_in"), F.count("*").alias("rows")
+        ).collect()[0]
+        return time.time() - t0, int(row["tokens_in"])
+
+    once()  # warm-up: JVM codegen + python workers + page faults
+    dt, tokens = once()
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "seconds": round(dt, 3),
+        "tokens": tokens,
+        "tokens_per_sec": int(tokens / dt),
+    }
+
+
+def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--run":
+        print(json.dumps(run_one(int(sys.argv[2]))))
+        return
+
+    n_small = int(os.environ.get("TOKFORGE_SCALE_N", "8"))
+    n_big = int(os.environ.get("TOKFORGE_SCALE_4N", "32"))
+    results = {}
+    for cpus in (n_small, n_big):
+        out = subprocess.run(
+            [sys.executable, __file__, "--run", str(cpus)],
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=str(Path(__file__).resolve().parent),
+        )
+        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        print(results[cpus])
+
+    thr_n = results[n_small]["tokens_per_sec"]
+    thr_4n = results[n_big]["tokens_per_sec"]
+    eff = (thr_4n / thr_n) / (n_big / n_small)
+    summary = {
+        "metric": "N->4N scaling efficiency, flagship transform pipeline",
+        "n_cores": n_small,
+        "4n_cores": n_big,
+        "tokens_per_sec_n": thr_n,
+        "tokens_per_sec_4n": thr_4n,
+        "scaling_efficiency": round(eff, 3),
+        "sf": os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    }
+    print(json.dumps(summary))
+
+    bench_md = Path(__file__).resolve().parent / "BENCH.md"
+    bench_md.write_text(
+        f"""# BENCH — measured throughput and scaling
+
+The BASELINE.json scaling criterion (N -> 4N executors, efficiency >= 0.8)
+is evidenced in this sandbox by running the identical flagship job —
+signed-request validation + full 12-op transform chain as one vectorized
+Arrow UDF — at two local parallelism levels on the same input
+({summary['sf']}, documents x {os.environ.get('TOKFORGE_BENCH_REPLICAS', '24')} replicas).
+
+| parallelism | wall time (s) | tokens/sec |
+|---|---|---|
+| local[{n_small}] (N) | {results[n_small]['seconds']} | {thr_n:,} |
+| local[{n_big}] (4N) | {results[n_big]['seconds']} | {thr_4n:,} |
+
+**Scaling efficiency = (thr_4N / thr_N) / 4 = {eff:.3f}**
+
+Method notes:
+- each level runs in its own subprocess (fresh JVM, fresh python workers);
+  a warm-up pass runs first so the measurement reflects the steady state a
+  long-running executor delivers (page cache + codegen warm).
+- the job is identical at both levels: same input rows, same plan; only
+  `master=local[N]` and `spark.sql.shuffle.partitions=N` change.
+- input is explicitly repartitioned to 2xN so the scan parallelism never
+  caps the core count (at cluster scale the Iceberg source provides this
+  via split planning).
+
+Regenerate: `python bench_scaling.py` (env: SPARK_GRAFT_SF_DIR,
+TOKFORGE_BENCH_REPLICAS, TOKFORGE_SCALE_N/4N).
+"""
+    )
+    print(f"wrote {bench_md}")
+
+
+if __name__ == "__main__":
+    main()
