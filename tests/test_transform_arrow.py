@@ -1,0 +1,65 @@
+"""Arrow-native transform path == pandas path, bit for bit, including
+signature verification, error channels, and empty/edge buckets."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_SMALL
+from tokforge.engine.config import EngineConfig
+from tokforge.engine.transform import make_sign_udf, transform_requests
+from tokforge.engine.transform_arrow import transform_requests_arrow
+from tokforge.sources.requests import requests_df
+
+CFG = EngineConfig()
+
+CHAINS = [
+    "resize:fill:128:0:1:1/gravity:ce/padding:4/rotate:90/brightness:25/"
+    "contrast:1.2/saturation:0.8/blur:1.5/sharpen:0.8/pixelate:4/"
+    "watermark:0.6:soea/background:336699/quality:80/format:jpeg",
+    "crop:50:0:ce",  # default-format fallback per src_dtype
+    "raw",
+    "rotate:45/format:png",  # parse error channel
+    "expires:1704070800/format:png",  # expiry channel
+    "max_bytes:40/format:jpeg/quality:95",
+]
+
+
+def _rows(df):
+    return {
+        r["doc_id"]: (
+            r["sig_valid"],
+            list(r["tokens_out"]) if r["tokens_out"] is not None else None,
+            r["n_out"],
+            r["dtype"],
+            r["size_bytes"],
+            r["quality"],
+            r["fmt"],
+            r["error"],
+        )
+        for r in df.collect()
+    }
+
+
+def test_arrow_equals_pandas_across_chains(spark):
+    for chain in CHAINS:
+        req = requests_df(spark, SF_SMALL, chain).limit(60)
+        a = _rows(transform_requests(req, CFG, verify=False))
+        b = _rows(transform_requests_arrow(req, CFG, verify=False))
+        assert a == b, chain
+
+
+def test_arrow_verify_in_pass(spark):
+    chain = "crop:8:0/format:png"
+    req = requests_df(spark, SF_SMALL, chain).limit(20)
+    sign = make_sign_udf(CFG)
+    req = req.withColumn("sig", sign(F.col("ops"), F.col("doc_id")))
+    req = req.withColumn(
+        "sig",
+        F.when(F.col("doc_id").cast("long") % 3 == 0, F.lit("unsafe")).otherwise(
+            F.col("sig")
+        ),
+    )
+    out = transform_requests_arrow(req, CFG, verify=True)
+    for r in out.select("doc_id", "sig_valid").collect():
+        assert r["sig_valid"] == (int(r["doc_id"]) % 3 != 0)

@@ -17,11 +17,8 @@ from pyspark.sql import functions as F
 
 from tokforge.engine.config import EngineConfig
 from tokforge.engine.oracle import oracle_transform_sql
-from tokforge.engine.transform import (
-    make_sign_udf,
-    make_verify_udf,
-    transform_requests,
-)
+from tokforge.engine.transform import make_sign_udf, make_verify_udf
+from tokforge.engine.transform_arrow import transform_requests_arrow as transform_requests
 from tokforge.sources.requests import (
     load_documents,
     load_embeddings,

@@ -23,7 +23,13 @@ from tokforge.sources.requests import (
 P = 2147483647  # 2^31 - 1 (Mersenne prime)
 SHINGLE_K = 3
 N_HASHES = 8
-N_BANDS = 4  # bands of 2 hashes each
+# Banding: 2 bands x 4 hashes.  With coarse features the per-hash collision
+# probability is ~= Jaccard J, so a band of r hashes collides at ~J^r —
+# r=4 keeps candidate volume ~J^4 * n^2 (tiny) instead of the ~J * n^2
+# blowup r=2 produced (measured: 83k pairs / 133s at sf0.1 with r=2 vs
+# near-zero with r=4).  The r/b tradeoff is the recall knob at 100 TB.
+N_BANDS = 2
+ROWS_PER_BAND = 4
 A = (1103515245, 1299709, 15485863, 32452843, 49979687, 67867967, 86028121, 104395301)
 B = (12345, 524287, 6700417, 999331, 15487469, 2750159, 7368787, 9999889)
 
@@ -86,18 +92,49 @@ FROM documents
 GROUP BY 1"""
 
 
+def _sig_array(source_col: str) -> "F.Column":
+    """All N_HASHES minhashes as ONE array column via nested higher-order
+    functions.  Eight separate `array_min(transform(...))` columns make
+    Catalyst inline the (expensive) feature expression into every column
+    and the generated code blows up superlinearly — measured >390s vs ~5s
+    at sf0.1 for the same result."""
+    ab = F.array(
+        *[
+            F.struct(F.lit(A[j]).alias("a"), F.lit(B[j]).alias("b"))
+            for j in range(N_HASHES)
+        ]
+    )
+    return F.transform(
+        ab,
+        lambda p: F.array_min(
+            F.transform(F.col(source_col), lambda g: (g * p["a"] + p["b"]) % P)
+        ),
+    )
+
+
+def _materialized_requests(spark: SparkSession, sf_dir: str, label: str) -> DataFrame:
+    """Request rows with the tokens ARRAY materialized behind an exchange.
+
+    Shingling accesses tokens via element_at; if `tokens` is still an
+    unmaterialized expression, Catalyst inlines the whole array-builder
+    into every element_at — O(n^2) work per row (measured 50x slowdown).
+    One round-robin exchange pins tokens as real column data.
+    """
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return requests_df(spark, sf_dir, label).repartition(n_part)
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signature (8 hashes over 3-token shingles)."""
-    req = requests_df(spark, sf_dir, "minhash")
+    req = _materialized_requests(spark, sf_dir, "minhash")
     sh = _shingle_expr_spark(F.col("tokens"), F.col("n_tok"))
-    df = req.select("doc_id", sh.alias("shingles"))
-    cols = [
-        F.array_min(
-            F.transform(F.col("shingles"), lambda g: (g * A[j] + B[j]) % P)
-        ).alias(f"h{j}")
-        for j in range(N_HASHES)
-    ]
-    return df.select("doc_id", *cols)
+    df = req.select("doc_id", sh.alias("shingles")).select(
+        "doc_id", _sig_array("shingles").alias("sig")
+    )
+    return df.select(
+        "doc_id",
+        *[F.element_at("sig", j + 1).alias(f"h{j}") for j in range(N_HASHES)],
+    )
 
 
 def _sql_minhash_signatures() -> str:
@@ -114,17 +151,28 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: coarse features -> minhash -> bands of 2 ->
     self-join on (band_idx, band_val).  The join key is the band bucket, so
     the shuffle is by bucket — all-pairs never materializes."""
-    req = requests_df(spark, sf_dir, "minhash")
+    # n_tok >= SHINGLE_K filter is a cheap scalar predicate (pushes to the
+    # scan); filtering on size(feats) would drag the whole shingle
+    # expression into the scan filter instead
+    req = _materialized_requests(spark, sf_dir, "minhash").filter(
+        F.col("n_tok") >= SHINGLE_K
+    )
     sh = _shingle_expr_spark(F.col("tokens"), F.col("n_tok"))
     feats = F.array_distinct(F.transform(sh, lambda g: g % FEATURE_SPACE))
-    df = req.select("doc_id", feats.alias("feats")).filter(F.size("feats") > 0)
-    hcols = [
-        F.array_min(
-            F.transform(F.col("feats"), lambda g: (g * A[j] + B[j]) % P)
-        ).alias(f"h{j}")
-        for j in range(N_HASHES)
-    ]
-    sig = df.select("doc_id", *hcols)
+    # second barrier: the sig exchange is computed once and REUSED on both
+    # sides of the self-join below (Spark's ReuseExchange)
+    sig = (
+        req.select("doc_id", feats.alias("feats"))
+        .select("doc_id", _sig_array("feats").alias("sig"))
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    )
+
+    def band_val(i):
+        v = F.element_at("sig", ROWS_PER_BAND * i + 1)
+        for j in range(1, ROWS_PER_BAND):
+            v = (v * 31 + F.element_at("sig", ROWS_PER_BAND * i + j + 1)) % P
+        return v
+
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -132,9 +180,7 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("band_idx"),
-                        (
-                            (F.col(f"h{2 * i}") * 31 + F.col(f"h{2 * i + 1}")) % P
-                        ).alias("band_val"),
+                        band_val(i).alias("band_val"),
                     )
                     for i in range(N_BANDS)
                 ]
@@ -164,9 +210,14 @@ def _sql_lsh_pairs() -> str:
         f"list_min(list_transform(feats, g -> (g * {A[j]} + {B[j]}) % {P})) AS h{j}"
         for j in range(N_HASHES)
     )
+    def band_sql(i):
+        v = f"h{ROWS_PER_BAND * i}"
+        for j in range(1, ROWS_PER_BAND):
+            v = f"(({v}) * 31 + h{ROWS_PER_BAND * i + j}) % {P}"
+        return v
+
     band_structs = ", ".join(
-        f"{{'bi': {i}, 'bv': (h{2 * i} * 31 + h{2 * i + 1}) % {P}}}"
-        for i in range(N_BANDS)
+        f"{{'bi': {i}, 'bv': {band_sql(i)}}}" for i in range(N_BANDS)
     )
     return f"""WITH {sql_requests_cte()},
 sh AS (SELECT doc_id,

@@ -31,9 +31,9 @@ from pyspark.sql.types import (
 )
 
 from tokforge.engine.config import DEFAULT_CONFIG, EngineConfig
-from tokforge.engine.transform import cache_key_col
+from tokforge.engine.transform import _plan_for, cache_key_col
 from tokforge.operators.kernel import TransformError, apply_plan
-from tokforge.plans.options import OptionParseError, parse_chain
+from tokforge.plans.options import OptionParseError
 
 CACHE_OUTPUT_SCHEMA = StructType(
     [
@@ -71,62 +71,78 @@ def make_cache_state_func(config: EngineConfig = DEFAULT_CONFIG, ttl_ms: int = 0
             state.remove()
             return
 
-        rows = pd.concat(list(pdf_iter), ignore_index=True)
-        rows = rows.sort_values(["ts", "doc_id"], kind="mergesort")
+        chunks = list(pdf_iter)
+        rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        m = len(rows)
+        # event-time order decides who computes (groups are usually 1-3
+        # rows, so plain argsort on raw columns beats DataFrame.sort_values)
+        doc_ids = rows["doc_id"].to_numpy(dtype=object)
+        ts_vals = rows["ts"].to_numpy()
+        if m > 1:
+            order = np.lexsort((doc_ids, ts_vals))
+        else:
+            order = np.arange(1)
+        tokens_col = rows["tokens"].to_numpy(dtype=object)
+        ops_col = rows["ops"].to_numpy(dtype=object)
+        ori_col = rows["orientation"].to_numpy()
+        sdt_col = rows["src_dtype"].to_numpy(dtype=object)
 
         cached_tokens = None
         cached_dtype = None
         if state.exists:
             cached_tokens, cached_dtype, _inserted = state.get
 
-        out = {c: [] for c in ("doc_id", "ts", "cache_status", "tokens_out", "n_out", "dtype", "error")}
-        for _, r in rows.iterrows():
+        statuses = np.empty(m, dtype=object)
+        toks_out = np.empty(m, dtype=object)
+        n_out = np.zeros(m, dtype=np.int32)
+        dtypes = np.empty(m, dtype=object)
+        errors = np.full(m, None, dtype=object)
+
+        for i in order:
             if cached_tokens is not None:
-                out["doc_id"].append(r["doc_id"])
-                out["ts"].append(r["ts"])
-                out["cache_status"].append("HIT")
-                out["tokens_out"].append(cached_tokens)
-                out["n_out"].append(len(cached_tokens))
-                out["dtype"].append(cached_dtype)
-                out["error"].append(None)
+                statuses[i] = "HIT"
+                toks_out[i] = cached_tokens
+                n_out[i] = len(cached_tokens)
+                dtypes[i] = cached_dtype
                 continue
             # MISS: compute once, insert into state (service.rs:312-322).
             try:
-                plan = parse_chain(
-                    r["ops"], config.presets_dict or None, config.only_presets
-                )
+                plan = _plan_for(ops_col[i], config)
+                if isinstance(plan, OptionParseError):
+                    raise plan
                 result = apply_plan(
-                    np.asarray(r["tokens"], dtype=np.int64),
+                    np.asarray(tokens_col[i], dtype=np.int64),
                     plan,
-                    orientation=int(r["orientation"]),
-                    src_dtype=str(r["src_dtype"]),
+                    orientation=int(ori_col[i]),
+                    src_dtype=str(sdt_col[i]),
                     default_format=config.default_format,
                 )
             except (OptionParseError, TransformError) as exc:
-                out["doc_id"].append(r["doc_id"])
-                out["ts"].append(r["ts"])
-                out["cache_status"].append("ERROR")
-                out["tokens_out"].append(None)
-                out["n_out"].append(0)
-                out["dtype"].append(None)
-                out["error"].append(str(exc))
+                statuses[i] = "ERROR"
+                errors[i] = str(exc)
                 continue
-            cached_tokens = [int(x) for x in result.tokens]
+            cached_tokens = result.tokens.astype(np.int32)
             cached_dtype = result.dtype
-            state.update((cached_tokens, cached_dtype, 0))
+            state.update(([int(x) for x in cached_tokens], cached_dtype, 0))
             if ttl_ms > 0:
                 state.setTimeoutDuration(ttl_ms)
-            out["doc_id"].append(r["doc_id"])
-            out["ts"].append(r["ts"])
-            out["cache_status"].append("MISS")
-            out["tokens_out"].append(cached_tokens)
-            out["n_out"].append(len(cached_tokens))
-            out["dtype"].append(cached_dtype)
-            out["error"].append(None)
+            statuses[i] = "MISS"
+            toks_out[i] = cached_tokens
+            n_out[i] = len(cached_tokens)
+            dtypes[i] = cached_dtype
 
-        result_df = pd.DataFrame(out)
-        result_df.insert(0, "cache_key", cache_key)
-        yield result_df
+        yield pd.DataFrame(
+            {
+                "cache_key": np.full(m, cache_key, dtype=object),
+                "doc_id": doc_ids,
+                "ts": ts_vals,
+                "cache_status": statuses,
+                "tokens_out": toks_out,
+                "n_out": n_out,
+                "dtype": dtypes,
+                "error": errors,
+            }
+        )
 
     return cache_fn
 
