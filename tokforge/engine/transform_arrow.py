@@ -88,7 +88,7 @@ def _transform_record_batch(batch: pa.RecordBatch, config: EngineConfig) -> pa.R
         toks = toks.combine_chunks()
     # flatten() drops per-list validity/offset base; use raw buffers
     offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    values = toks.values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    values = toks.values.to_numpy(zero_copy_only=False)  # int32, zero-copy
     lengths = np.diff(offsets)
 
     ops_codes, ops_dict = _dict_codes(batch.column("ops"))
@@ -145,7 +145,7 @@ def _transform_record_batch(batch: pa.RecordBatch, config: EngineConfig) -> pa.R
             gather = offsets[row_idx][:, None] + np.arange(length, dtype=np.int64)
             mat = values[gather]
         else:
-            mat = np.empty((len(row_idx), 0), dtype=np.int64)
+            mat = np.empty((len(row_idx), 0), dtype=np.int32)
         try:
             result = apply_plan_rect(
                 mat,

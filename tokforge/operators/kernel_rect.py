@@ -101,16 +101,17 @@ def _moving_mean_rect(mat: np.ndarray, window: int) -> np.ndarray:
         axis=1,
     )
     csum = np.concatenate(
-        [np.zeros((m, 1), dtype=np.int64), np.cumsum(padded, axis=1)], axis=1
+        [np.zeros((m, 1), dtype=np.int64), np.cumsum(padded, axis=1, dtype=np.int64)],
+        axis=1,
     )
     sums = csum[:, window:] - csum[:, :-window]
-    return np.floor(sums / float(window) + 0.5).astype(np.int64)
+    return np.floor(sums / float(window) + 0.5).astype(np.int32)
 
 
 def _row_means_floor(mat: np.ndarray) -> np.ndarray:
     if mat.shape[1] == 0:
         return np.zeros(mat.shape[0], dtype=np.int64)
-    return mat.sum(axis=1) // mat.shape[1]
+    return mat.sum(axis=1, dtype=np.int64) // mat.shape[1]
 
 
 def _runs_per_row(mat: np.ndarray) -> np.ndarray:
@@ -138,7 +139,10 @@ def apply_plan_rect(
     rows share one src_dtype (the caller sub-buckets by it when the chain
     leaves the output format implicit)."""
     m = mat.shape[0]
-    t = mat.astype(np.int64, copy=False)
+    # int32-native: all token values fit comfortably (< 2^17); the kernel is
+    # memory-bandwidth-bound, so halving element width raises the multi-core
+    # ceiling.  Accumulations (means, moving sums) go through int64.
+    t = mat.astype(np.int32, copy=False)
 
     if plan.raw:
         spec = FORMAT_SPECS.get(src_dtype, FORMAT_SPECS["int32"])
@@ -239,13 +243,13 @@ def apply_plan_rect(
         n = t.shape[1]
         extra = resolved_target - n
         off = gravity_offset(plan.gravity if plan.gravity else "ce", extra)
-        out = np.full((m, resolved_target), bg_token, dtype=np.int64)
+        out = np.full((m, resolved_target), bg_token, dtype=t.dtype)
         out[:, off : off + n] = t
         t = out
 
     if plan.padding is not None:
         _top, right, _bottom, left = plan.padding
-        out = np.full((m, left + t.shape[1] + right), bg_token, dtype=np.int64)
+        out = np.full((m, left + t.shape[1] + right), bg_token, dtype=t.dtype)
         out[:, left : left + t.shape[1]] = t
         t = out
 
@@ -267,13 +271,13 @@ def apply_plan_rect(
                 ).astype(np.int64),
                 0,
                 VOCAB - 1,
-            )
+            ).astype(np.int32)
         if abs(plan.adjust.saturation - 1.0) > 1e-9:
             s = plan.adjust.saturation
             mm = _row_means_floor(t)[:, None].astype(np.float64)
             t = np.clip(
                 np.floor(s * t.astype(np.float64) + (1.0 - s) * mm + 0.5).astype(
-                    np.int64
+                    np.int32
                 ),
                 0,
                 VOCAB - 1,
@@ -313,7 +317,7 @@ def apply_plan_rect(
         seg = t[:, x : x + wm_len].astype(np.float64)
         t[:, x : x + wm_len] = np.clip(
             np.floor(o * wm[None, :] + (1.0 - o) * seg + 0.5), 0, SENTINEL_MAX
-        ).astype(np.int64)
+        ).astype(np.int32)
 
     if plan.background is not None and out_fmt.lower() == "jpeg":
         t = np.where(t >= SENTINEL_BASE, bg_token, t)
