@@ -1,0 +1,77 @@
+"""Physical-plan assertions: the properties that make the engine survive a
+100x scale-up (column pruning, predicate pushdown, broadcast joins,
+shuffle-free transform path) must be visible in .explain output — not
+assumed."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_SMALL
+from tokforge.engine.config import EngineConfig
+from tokforge.engine.transform_arrow import transform_requests_arrow
+from tokforge.sources.requests import load_events, requests_df
+
+CFG = EngineConfig()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_request_scan_prunes_columns(spark):
+    """Request synthesis must read only doc_id+source from parquet."""
+    df = requests_df(spark, SF_SMALL, "crop:4:0/format:png")
+    plan = plan_of(df)
+    scan = [line for line in plan.splitlines() if "FileScan" in line][0]
+    assert "ReadSchema" in scan
+    assert "text" not in scan and "n_chars" not in scan and "lang" not in scan
+
+
+def test_transform_path_is_shuffle_free(spark):
+    """scan -> mapInArrow -> project: no Exchange anywhere (the hot path is
+    embarrassingly parallel end to end)."""
+    req = requests_df(spark, SF_SMALL, "crop:4:0/format:png")
+    out = transform_requests_arrow(req, CFG, verify=False)
+    plan = plan_of(out.select("doc_id", "n_out"))
+    assert "Exchange" not in plan
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan
+
+
+def test_event_filter_pushdown(spark):
+    ev = load_events(spark, SF_SMALL).filter(F.col("event_type") == "click")
+    scan = [line for line in plan_of(ev).splitlines() if "FileScan" in line][0]
+    assert "PushedFilters" in scan and "event_type" in scan
+
+
+def test_knn_broadcasts_query_side(spark):
+    from tokforge.pipeline.similarity import q_knn_bruteforce
+
+    plan = plan_of(q_knn_bruteforce(spark, SF_SMALL))
+    assert "BroadcastExchange" in plan or "Broadcast" in plan
+
+
+def test_lsh_join_reuses_signature_exchange(spark):
+    """The LSH self-join must reuse the materialized signature exchange,
+    not recompute the minhash lineage twice."""
+    from tokforge.pipeline.dedup import q_lsh_pairs
+
+    plan = plan_of(q_lsh_pairs(spark, SF_SMALL))
+    assert "ReusedExchange" in plan or plan.count("list of shingles") == 0
+
+
+def test_whole_stage_codegen_on_relational_path(spark):
+    """The relational side (filters/aggregations) stays in codegen spans;
+    the map-only Arrow path itself is a single Python node with nothing
+    left to fuse."""
+    ev = (
+        load_events(spark, SF_SMALL)
+        .filter(F.col("value") > 10)
+        .groupBy("event_type")
+        .agg(F.sum("value"))
+    )
+    assert "WholeStageCodegen" in plan_of(ev)

@@ -386,11 +386,13 @@ def _pipeline_registry():
     from tokforge.pipeline.dedup import DEDUP_QUERIES
     from tokforge.pipeline.similarity import SIMILARITY_QUERIES
     from tokforge.pipeline.text import TEXT_QUERIES
+    from tokforge.streaming.queries import STREAMING_QUERIES
 
     merged = {}
     merged.update(DEDUP_QUERIES)
     merged.update(SIMILARITY_QUERIES)
     merged.update(TEXT_QUERIES)
+    merged.update(STREAMING_QUERIES)
     return merged
 
 

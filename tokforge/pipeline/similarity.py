@@ -139,7 +139,70 @@ FROM assigned WHERE rk = 1
 GROUP BY cell"""
 
 
+NEAR_DUP_THRESHOLD = 0.35  # synthetic 64-d corpus: top ~0.1% of pairs
+NEAR_DUP_BUCKETS = 8  # coarse sign-bucket on the first embedding dims
+
+
+def _bucket_spark(vec) -> "F.Column":
+    """Cheap blocking key: sign pattern of the first 3 dims (8 buckets).
+    Near-identical vectors share signs, so candidate pairs stay within a
+    bucket — the all-pairs join never happens."""
+    b = F.lit(0)
+    for i in range(3):
+        b = b * 2 + F.when(F.element_at(vec, i + 1) >= 0, 1).otherwise(0)
+    return b
+
+
+_SQL_BUCKET = (
+    "((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) * 4 + "
+    "(CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END) * 2 + "
+    "(CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END))"
+)
+
+
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-bucket blocking, then
+    exact cosine inside each bucket, keep pairs above the threshold."""
+    emb = load_embeddings(spark, sf_dir).select(
+        "vec_id", "embedding", _bucket_spark(F.col("embedding")).alias("bucket")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = F.round(
+        _dot_spark(F.col("a.embedding"), F.col("b.embedding"))
+        / (_norm_spark(F.col("a.embedding")) * _norm_spark(F.col("b.embedding"))),
+        4,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= NEAR_DUP_THRESHOLD)
+    )
+
+
+def _sql_embed_near_dup() -> str:
+    dot = _SQL_DOT.format(a="a.embedding", b="b.embedding")
+    na = _SQL_NORM.format(a="a.embedding")
+    nb = _SQL_NORM.format(a="b.embedding")
+    return f"""WITH bucketed AS (
+  SELECT vec_id, embedding, {_SQL_BUCKET} AS bucket FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(({dot}) / (({na}) * ({nb})), 4) AS cos_sim
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(({dot}) / (({na}) * ({nb})), 4) >= {NEAR_DUP_THRESHOLD}"""
+
+
 SIMILARITY_QUERIES = {
     "knn_bruteforce": (q_knn_bruteforce, _sql_knn_bruteforce()),
     "ann_ivf_assign": (q_ivf_assign, _sql_ivf_assign()),
+    "embed_near_dup": (q_embed_near_dup, _sql_embed_near_dup()),
 }

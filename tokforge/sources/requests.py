@@ -52,11 +52,20 @@ def tokens_col(doc_id: Column, n_tok: Column) -> Column:
     )
 
 
+def _pin_utc(spark: SparkSession) -> None:
+    """Event-time arithmetic (timestamp literals, unix_timestamp) must be
+    replay-stable and oracle-comparable regardless of the caller's session
+    timezone."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pin_utc(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pin_utc(spark)
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 

@@ -1,0 +1,108 @@
+"""Streaming queries exposed through the driver's correctness gate: each
+runs a REAL Structured Streaming job (availableNow trigger, checkpointed,
+stateful) into a temp sink, then returns the committed sink contents as a
+batch DataFrame so the DuckDB oracle can check it exactly.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from tokforge.engine.config import EngineConfig
+from tokforge.sources.requests import requests_df, sql_requests_cte
+
+_CHAIN = "resize:fit:32/quality:80/format:int16"
+_CFG = EngineConfig()
+
+
+def _drain(query, timeout=300):
+    query.awaitTermination(timeout)
+    if query.isActive:
+        query.stop()
+        query.awaitTermination(60)
+
+
+def q_stream_cache_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 event-time replicas of every request flow through the stateful
+    cache: exactly 1 MISS + 2 HITs per document, and the HITs serve the
+    cached tokens (n_out identical).  The whole pipeline — file stream,
+    watermark, applyInPandasWithState, idempotent foreachBatch sink — runs
+    for real; the oracle checks the committed sink."""
+    from tokforge.streaming.job import read_sink, transform_stream
+
+    tmp = tempfile.mkdtemp(prefix="tokforge-q-stream-")
+    req = requests_df(spark, sf_dir, _CHAIN)
+    for i in range(3):
+        req.withColumn(
+            "ts", (F.unix_timestamp("ts") + i * 600).cast("timestamp")
+        ).write.mode("append").parquet(f"{tmp}/in/drop={i}")
+    query, _ = transform_stream(
+        spark,
+        f"{tmp}/in",
+        f"{tmp}/out",
+        f"{tmp}/ckpt",
+        _CFG,
+        verify=False,
+        available_now=True,
+    )
+    _drain(query)
+    out = read_sink(spark, f"{tmp}/out")
+    return out.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("cache_status") == "MISS", 1).otherwise(0)).alias("n_miss"),
+        F.sum(F.when(F.col("cache_status") == "HIT", 1).otherwise(0)).alias("n_hit"),
+        F.count_distinct("n_out").alias("n_variants"),
+        F.max("n_out").alias("n_out"),
+    )
+
+
+SQL_STREAM_CACHE_COUNTS = f"""WITH {sql_requests_cte()}
+SELECT doc_id,
+       1 AS n_miss,
+       2 AS n_hit,
+       CAST(1 AS BIGINT) AS n_variants,
+       least(n_tok, 32) AS n_out
+FROM req"""
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling windows (append mode, watermark-finalized) must
+    equal the batch GROUP BY — a future sentinel closes all real windows
+    before the stream drains."""
+    from tokforge.streaming.job import read_sink, tumbling_rate_query
+
+    tmp = tempfile.mkdtemp(prefix="tokforge-q-stream-")
+    req = requests_df(spark, sf_dir, _CHAIN)
+    req.write.mode("append").parquet(f"{tmp}/in/drop=0")
+    q1, _ = tumbling_rate_query(spark, f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt")
+    _drain(q1)
+    sentinel = req.limit(1).withColumn(
+        "ts", (F.unix_timestamp("ts") + 864000).cast("timestamp")
+    ).withColumn("source", F.lit("__sentinel__"))
+    sentinel.write.mode("append").parquet(f"{tmp}/in/drop=1")
+    q2, _ = tumbling_rate_query(spark, f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt")
+    _drain(q2)
+    out = read_sink(spark, f"{tmp}/out").filter(F.col("source") != "__sentinel__")
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_start_s"),
+        "source",
+        "n_requests",
+        "sum_tokens",
+    )
+
+
+SQL_STREAM_TUMBLING = f"""WITH {sql_requests_cte()}
+SELECT CAST(epoch(time_bucket(INTERVAL 1 MINUTE, ts)) AS BIGINT) AS window_start_s,
+       source,
+       count(*) AS n_requests,
+       sum(n_tok) AS sum_tokens
+FROM req
+GROUP BY 1, 2"""
+
+
+STREAMING_QUERIES = {
+    "stream_cache_counts": (q_stream_cache_counts, SQL_STREAM_CACHE_COUNTS),
+    "stream_window_tumbling": (q_stream_tumbling, SQL_STREAM_TUMBLING),
+}
