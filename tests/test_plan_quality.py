@@ -74,4 +74,5 @@ def test_whole_stage_codegen_on_relational_path(spark):
         .groupBy("event_type")
         .agg(F.sum("value"))
     )
+    ev.collect()  # AQE finalizes (and codegens) the plan on execution
     assert "WholeStageCodegen" in plan_of(ev)
