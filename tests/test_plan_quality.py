@@ -75,4 +75,8 @@ def test_whole_stage_codegen_on_relational_path(spark):
         .agg(F.sum("value"))
     )
     ev.collect()  # AQE finalizes (and codegens) the plan on execution
-    assert "WholeStageCodegen" in plan_of(ev)
+    formatted = ev._sc._jvm.PythonSQLUtils.explainString(
+        ev._jdf.queryExecution(), "formatted"
+    )
+    # '*' marks operators inside WholeStageCodegen spans
+    assert "* HashAggregate" in formatted and "* Filter" in formatted
