@@ -105,3 +105,26 @@ def test_expired_rows_flagged(spark):
     for r in out.select("doc_id", "error").collect():
         expired = int(r["doc_id"]) % 7200 > 3600
         assert (r["error"] == "Request expired") == expired
+
+
+def test_mime_allowlist_rejects_disallowed_dtypes(spark):
+    cfg = EngineConfig(allowed_src_dtypes=("int32",))
+    req = requests_df(spark, SF_SMALL, "crop:4:0/format:png").limit(9)
+    out = transform_requests(req, cfg, verify=False)
+    for r in out.select("doc_id", "error").collect():
+        disallowed = int(r["doc_id"]) % 3 != 0  # src_dtype cycles by doc_id%3
+        assert (r["error"] == "Source type not allowed") == disallowed
+
+
+def test_bearer_gate_filters_rows(spark):
+    from tokforge.engine.transform_arrow import transform_requests_arrow
+
+    cfg = EngineConfig(bearer_token="s3cret")
+    req = requests_df(spark, SF_SMALL, "crop:4:0/format:png").limit(10)
+    req = req.withColumn(
+        "bearer",
+        F.when(F.col("doc_id").cast("long") % 2 == 0, "s3cret").otherwise("wrong"),
+    )
+    out = transform_requests_arrow(req, cfg, verify=False)
+    docs = [int(r["doc_id"]) for r in out.select("doc_id").collect()]
+    assert docs and all(d % 2 == 0 for d in docs)

@@ -22,6 +22,12 @@ class EngineConfig:
     allow_security_options: bool = False  # reference: service.rs:550-570
     max_src_file_size: int | None = None  # global cap, bytes (n_tok * 4)
     max_src_resolution: float | None = None  # global cap, "megatokens"
+    # Bearer-secret gate (reference: service.rs:432-446): when set, rows
+    # must carry a matching `bearer` column or they are rejected (403).
+    bearer_token: str | None = None
+    # Source-type allowlist (reference: service.rs:500-510 MIME allowlist):
+    # when set, rows whose src_dtype is not listed are rejected.
+    allowed_src_dtypes: tuple[str, ...] | None = None
 
     @property
     def key(self) -> bytes:

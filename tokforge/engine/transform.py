@@ -106,6 +106,14 @@ def _transform_batch(
             out_error[idx] = str(plan)
             continue
 
+        # MIME-allowlist analog (reference: service.rs:500-510).
+        if (
+            config.allowed_src_dtypes is not None
+            and str(sdt).lower() not in config.allowed_src_dtypes
+        ):
+            out_error[idx] = "Source type not allowed"
+            continue
+
         # Expiry gate (reference: service.rs:645-660; event-time, never
         # wall-clock, so replay is deterministic).
         if plan.expires is not None:

@@ -121,6 +121,13 @@ def _transform_record_batch(batch: pa.RecordBatch, config: EngineConfig) -> pa.R
         if isinstance(plan, OptionParseError):
             out_error[row_idx] = str(plan)
             continue
+        # MIME-allowlist analog (reference: service.rs:500-510).
+        if (
+            config.allowed_src_dtypes is not None
+            and sdt_dict[sdt_codes[i0]].lower() not in config.allowed_src_dtypes
+        ):
+            out_error[row_idx] = "Source type not allowed"
+            continue
         if plan.expires is not None:
             expired = ts_unix[row_idx] > plan.expires
             out_error[row_idx[expired]] = "Request expired"
@@ -231,7 +238,12 @@ def transform_requests_arrow(
 ) -> DataFrame:
     """Arrow-native equivalent of ``transform_requests`` (same output
     columns and values; tests assert parity)."""
-    df = requests.withColumn("ts_unix", F.unix_timestamp(F.col("ts")))
+    df = requests
+    # Bearer-secret gate (reference: service.rs:432-446): a constant-token
+    # admission filter, evaluated JVM-side before any Python work.
+    if config.bearer_token is not None and "bearer" in df.columns:
+        df = df.filter(F.col("bearer").eqNullSafe(F.lit(config.bearer_token)))
+    df = df.withColumn("ts_unix", F.unix_timestamp(F.col("ts")))
     cols = [
         "doc_id", "source", "ts", "ops", "n_tok",
         "tokens", "orientation", "src_dtype", "ts_unix",
