@@ -64,7 +64,9 @@ def bench_transform(spark, sf_dir, cfg, chain, verify):
     from tokforge.engine.transform_arrow import transform_requests_arrow
 
     best = None
-    for _ in range(2):  # second pass = warm steady state
+    # best-of-3: the sandbox's timing windows vary up to 3x; steady-state
+    # (warm heap) is the comparable number
+    for _ in range(3):
         t0 = time.time()
         out = transform_requests_arrow(req, cfg, verify=verify)
         row = out.agg(
