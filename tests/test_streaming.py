@@ -267,3 +267,34 @@ def test_sink_lineage_columns(spark, tmp_path):
     _finish(query)
     cols = read_sink(spark, out_dir).columns
     assert "batch_id" in cols and "partition_id" in cols
+
+
+def test_rejected_rows_dead_letter_sink(spark, tmp_path):
+    in_path, out_dir, ckpt, rej = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "rejected"),
+    )
+    req = _signed_requests(spark, limit=10)
+    # corrupt half the signatures
+    req = req.withColumn(
+        "sig",
+        F.when(F.col("doc_id").cast("long") % 2 == 0, F.concat("sig", F.lit("x")))
+        .otherwise(F.col("sig")),
+    )
+    req.write.mode("append").parquet(f"{in_path}/drop=0")
+    query, _ = transform_stream(
+        spark, in_path, out_dir, ckpt, CFG, verify=True, rejected_dir=rej
+    )
+    _finish(query)
+    import time as _t
+
+    _t.sleep(2)  # let the dead-letter query commit
+    accepted = read_sink(spark, out_dir)
+    rejected = spark.read.option("recursiveFileLookup", "true").parquet(f"{rej}/data")
+    acc_ids = {int(r["doc_id"]) for r in accepted.select("doc_id").collect()}
+    rej_ids = {int(r["doc_id"]) for r in rejected.select("doc_id").collect()}
+    assert all(d % 2 == 1 for d in acc_ids) and all(d % 2 == 0 for d in rej_ids)
+    assert len(acc_ids) + len(rej_ids) == 10
+    assert rejected.select("status").distinct().collect()[0][0] == "403"

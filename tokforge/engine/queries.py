@@ -291,7 +291,7 @@ def q_metrics_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_METRICS_BY_SOURCE = f"""WITH {sql_requests_cte()}
 SELECT source,
        count(*) AS n_requests,
-       sum(n_tok) AS sum_tokens,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
        round(avg(n_tok), 4) AS avg_tokens,
        max(n_tok) AS max_tokens
 FROM req
@@ -325,7 +325,7 @@ def q_cache_hit_miss(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CACHE_HIT_MISS = f"""WITH {sql_requests_cte()}
 SELECT doc_id, rep,
        CASE WHEN rep = 0 THEN 'MISS' ELSE 'HIT' END AS cache_status
-FROM req, (SELECT unnest([0, 1, 2]) AS rep)"""
+FROM req, (SELECT unnest([CAST(0 AS BIGINT), 1, 2]) AS rep)"""
 
 
 _TOPK = 20
@@ -348,7 +348,7 @@ def _sql_topk_longest() -> str:
     return f"""WITH txout AS ({inner})
 SELECT doc_id, size_bytes, rank FROM (
   SELECT doc_id, size_bytes,
-         row_number() OVER (ORDER BY size_bytes DESC, doc_id) AS rank
+         CAST(row_number() OVER (ORDER BY size_bytes DESC, doc_id) AS INTEGER) AS rank
   FROM txout
 ) WHERE rank <= {_TOPK}"""
 

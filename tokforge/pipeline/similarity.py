@@ -89,7 +89,7 @@ def _sql_knn_bruteforce() -> str:
 )
 SELECT qid, vec_id, cos_sim, rank FROM (
   SELECT qid, vec_id, cos_sim,
-         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rank
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
   FROM scored
 ) WHERE rank <= {TOP_K}"""
 

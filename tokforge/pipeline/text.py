@@ -36,9 +36,9 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.split(F.col("text"), " ")
     return docs.select(
         "doc_id",
-        F.length("text").alias("n_chars_actual"),
-        F.size(words).alias("n_words"),
-        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct_words"),
         F.round(
             F.aggregate(
                 F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, b: a + b
@@ -148,7 +148,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.substring(F.md5(normalized), 1, 16).alias("fingerprint"),
-        F.length(normalized).alias("normalized_len"),
+        F.length(normalized).cast("long").alias("normalized_len"),
     )
 
 

@@ -33,15 +33,36 @@ def transform_stream(
     watermark: str = "10 minutes",
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    rejected_dir: str | None = None,
 ):
-    """The flagship streaming pipeline.  Returns (query, sink)."""
+    """The flagship streaming pipeline.  Returns (query, sink).
+
+    When ``rejected_dir`` is given, signature-rejected rows are routed to
+    their own exactly-once sink (the 403-response analog,
+    service.rs:453-470) instead of being dropped — a dead-letter channel
+    with the same idempotent-commit guarantees as the main output.
+    """
     stream = read_request_stream(spark, in_path, max_files_per_trigger)
     stream = stream.withWatermark("ts", watermark)
     if verify:
         verify_udf = make_verify_udf(config)
         stream = stream.withColumn(
             "sig_valid", verify_udf(F.col("sig"), F.col("ops"), F.col("doc_id"))
-        ).filter(F.col("sig_valid"))
+        )
+        if rejected_dir is not None:
+            rejected = stream.filter(~F.col("sig_valid")).select(
+                "doc_id", "source", "ts", "ops", F.lit("403").alias("status")
+            )
+            rej_sink = IdempotentParquetSink(rejected_dir)
+            rej_writer = (
+                rejected.writeStream.foreachBatch(rej_sink)
+                .option("checkpointLocation", rejected_dir + "/_ckpt")
+                .outputMode("append")
+            )
+            if available_now:
+                rej_writer = rej_writer.trigger(availableNow=True)
+            rej_writer.start()
+        stream = stream.filter(F.col("sig_valid"))
     cached = with_cache_state(stream, config, ttl_ms)
     cached = observe_requests(cached)
     sink = IdempotentParquetSink(out_dir)

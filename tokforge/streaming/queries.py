@@ -60,8 +60,8 @@ def q_stream_cache_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_STREAM_CACHE_COUNTS = f"""WITH {sql_requests_cte()}
 SELECT doc_id,
-       1 AS n_miss,
-       2 AS n_hit,
+       CAST(1 AS BIGINT) AS n_miss,
+       CAST(2 AS BIGINT) AS n_hit,
        CAST(1 AS BIGINT) AS n_variants,
        least(n_tok, 32) AS n_out
 FROM req"""
@@ -97,7 +97,7 @@ SQL_STREAM_TUMBLING = f"""WITH {sql_requests_cte()}
 SELECT CAST(epoch(time_bucket(INTERVAL 1 MINUTE, ts)) AS BIGINT) AS window_start_s,
        source,
        count(*) AS n_requests,
-       sum(n_tok) AS sum_tokens
+       CAST(sum(n_tok) AS BIGINT) AS sum_tokens
 FROM req
 GROUP BY 1, 2"""
 
