@@ -65,6 +65,18 @@ OP_CHAINS: dict[str, str] = {
         "contrast:1.2/saturation:0.8/blur:1.5/sharpen:0.8/pixelate:4/"
         "watermark:0.6:soea/background:336699/quality:80/format:jpeg"
     ),
+    # edge/override semantics (options.rs merge rules, zero-dim derivation,
+    # gravity corners, lossless-quality boundary)
+    "op_resize_height_derived": "resize:fill:0:60/format:png",
+    "op_resize_partial_override": "resize:fit:10/resize::20/format:png",
+    "op_resizing_type_merge": "size:44/resizing_type:fill/gravity:ea/format:png",
+    "op_crop_zero_full": "crop:0:0/rotate:180/format:png",
+    "op_extend_corner": "resize:fit:280:0:0:1/extend:1:soea/background:abcdef/format:png",
+    "op_flip_vertical_identity": "flip:0:1/format:png",
+    "op_quality_lossless_boundary": "quality:100/format:jpeg",
+    "op_format_quality_map": "format_quality:avif:40:png:90/format:avif",
+    "op_bga_alpha": "background:10:20:30/background_alpha:0.5/padding:2/format:png",
+    "op_effect_stack": "blur:1/sharpen:1/pixelate:3/brightness:-80/format:png",
 }
 
 _PRESETS = {"thumb": "resize:fit:48/quality:60/format:jpeg"}
