@@ -15,7 +15,7 @@ from tokforge.operators.kernel import apply_plan
 from tokforge.plans.options import parse_chain
 from tokforge.sources.requests import sql_requests_cte
 
-CHAINS = [
+_BASE_CHAINS = [
     "resize:fit:64/format:int16",
     "resize:fill:50:0:0:0/gravity:soea/format:png",
     "resize:fill:50/gravity:nowe/format:png",
@@ -57,7 +57,16 @@ CHAINS = [
     "raw",
     "crop:50:0:ce",  # default-format fallback to src dtype
     "expires:1704070800/crop:10:0/format:int32",
+    "format_quality:int16:40:uint8:90",  # __src__ per-row format_quality
 ]
+
+# every driver-gated chain and every pytest-only extra chain is parity
+# checked too (incl. max_bytes walk-down and the watermark_url payload)
+from tokforge.engine.queries import OP_CHAINS, OP_CHAINS_EXTRA  # noqa: E402
+
+CHAINS = list(
+    dict.fromkeys(_BASE_CHAINS + list(OP_CHAINS.values()) + list(OP_CHAINS_EXTRA.values()))
+)
 
 
 @pytest.fixture(scope="module")

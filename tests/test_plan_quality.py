@@ -64,6 +64,54 @@ def test_lsh_join_reuses_signature_exchange(spark):
     assert "ReusedExchange" in plan or plan.count("list of shingles") == 0
 
 
+def test_knn_topk_is_two_phase(spark):
+    """No single reducer may see the whole scored corpus: the rank must be
+    a local per-partition top-k (window keyed by (qid, partition id))
+    followed by a final rank over the bounded survivors."""
+    from tokforge.pipeline.similarity import q_knn_bruteforce
+
+    plan = plan_of(q_knn_bruteforce(spark, SF_SMALL))
+    assert plan.count("Window") >= 2, "expected local + final window stages"
+    assert "SPARK_PARTITION_ID" in plan.upper() or "_pid" in plan
+
+
+def test_ivf_search_broadcasts_probes_no_corpus_window(spark):
+    """The IVF probe broadcasts the query side; cell assignment is a pure
+    column expression (no per-vector window over the corpus)."""
+    from tokforge.pipeline.similarity import q_ivf_search
+
+    df = q_ivf_search(spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "BroadcastExchange" in plan or "Broadcast" in plan
+
+
+def test_jaccard_verifies_lsh_candidates(spark):
+    """The Jaccard stage is the verify-after-blocking step: it must score
+    exactly the LSH candidate pairs, never a bucketed all-pairs join."""
+    from tokforge.pipeline.dedup import q_lsh_pairs, q_ngram_jaccard
+
+    n_cand = q_lsh_pairs(spark, SF_SMALL).count()
+    n_jacc = q_ngram_jaccard(spark, SF_SMALL).count()
+    assert n_jacc == n_cand
+
+
+def test_near_dup_bucket_space_scales(spark):
+    """The near-dup blocking key space must grow with the corpus (round-1
+    scale-killer: 8 static buckets -> O(n^2/8) pairs).  With 12 sign bits
+    the observed distinct-bucket count must exceed any tiny static cap."""
+    from tokforge.pipeline.similarity import NEAR_DUP_BITS, _bucket_spark
+    from tokforge.sources.requests import load_embeddings
+
+    assert NEAR_DUP_BITS >= 12
+    emb = load_embeddings(spark, SF_SMALL)
+    n_buckets = (
+        emb.select(_bucket_spark(F.col("embedding")).alias("b"))
+        .distinct()
+        .count()
+    )
+    assert n_buckets > 32
+
+
 def test_whole_stage_codegen_on_relational_path(spark):
     """The relational side (filters/aggregations) stays in codegen spans;
     the map-only Arrow path itself is a single Python node with nothing

@@ -182,6 +182,60 @@ def test_cache_ttl_eviction(spark, tmp_path):
     assert statuses.get("MISS", 0) == 10 and statuses.get("HIT", 0) == 0
 
 
+def test_info_cache_second_namespace(spark, tmp_path):
+    """The metadata cache is a real SECOND keyed state namespace: keyed by
+    doc_id (not cache_key), 1 MISS + 1 HIT per doc across two drops, HITs
+    serve the stored metadata (reference: cache.rs:240-256 info cache)."""
+    from tokforge.streaming.job import info_stream
+
+    in_path, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    req = _signed_requests(spark, limit=10)
+    _write_drops(spark, req, in_path, n=2)
+    q, _ = info_stream(spark, in_path, out_dir, ckpt, CFG)
+    _finish(q)
+    per_doc = (
+        read_sink(spark, out_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("info_status") == "MISS", 1).otherwise(0)).alias("miss"),
+            F.sum(F.when(F.col("info_status") == "HIT", 1).otherwise(0)).alias("hit"),
+            F.count_distinct("n_out").alias("variants"),
+        )
+        .collect()
+    )
+    assert len(per_doc) == 10
+    for r in per_doc:
+        assert r["miss"] == 1 and r["hit"] == 1 and r["variants"] == 1, r
+
+
+def test_info_cache_ttl_eviction(spark, tmp_path):
+    from tokforge.streaming.job import info_stream
+
+    in_path, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    req = _signed_requests(spark, limit=5)
+    req.write.mode("append").parquet(f"{in_path}/drop=0")
+    q1, _ = info_stream(spark, in_path, out_dir, ckpt, CFG, ttl_ms=500)
+    _finish(q1)
+    time.sleep(1.5)
+    req.withColumn("ts", (F.unix_timestamp("ts") + 600).cast("timestamp")).write.mode(
+        "append"
+    ).parquet(f"{in_path}/drop=1")
+    q2, _ = info_stream(spark, in_path, out_dir, ckpt, CFG, ttl_ms=500)
+    _finish(q2)
+    statuses = (
+        read_sink(spark, out_dir).groupBy("info_status").count().rdd.collectAsMap()
+    )
+    assert statuses.get("MISS", 0) == 10 and statuses.get("HIT", 0) == 0
+
+
 def test_tumbling_window_with_late_data_drop(spark, tmp_path):
     in_path, out_dir, ckpt = (
         str(tmp_path / "in"),
@@ -284,13 +338,13 @@ def test_rejected_rows_dead_letter_sink(spark, tmp_path):
         .otherwise(F.col("sig")),
     )
     req.write.mode("append").parquet(f"{in_path}/drop=0")
-    query, _ = transform_stream(
+    query, sink = transform_stream(
         spark, in_path, out_dir, ckpt, CFG, verify=True, rejected_dir=rej
     )
     _finish(query)
-    import time as _t
-
-    _t.sleep(2)  # let the dead-letter query commit
+    # dead-letter handles are exposed on the sink and already drained
+    # (availableNow awaits termination inside transform_stream — no sleep)
+    assert sink.rejected_query is not None and not sink.rejected_query.isActive
     accepted = read_sink(spark, out_dir)
     rejected = spark.read.option("recursiveFileLookup", "true").parquet(f"{rej}/data")
     acc_ids = {int(r["doc_id"]) for r in accepted.select("doc_id").collect()}

@@ -49,6 +49,26 @@ def test_arrow_equals_pandas_across_chains(spark):
         assert a == b, chain
 
 
+def test_bearer_gate_parity(spark):
+    """The bearer-secret admission filter must act identically on BOTH
+    paths (round-1 advice: it was Arrow-only, silently processing
+    unauthorized rows through the pandas path)."""
+    cfg = EngineConfig(bearer_token="s3cret")
+    chain = "crop:8:0/format:png"
+    req = requests_df(spark, SF_SMALL, chain).limit(30)
+    req = req.withColumn(
+        "bearer",
+        F.when(F.col("doc_id").cast("long") % 2 == 0, F.lit("s3cret")).otherwise(
+            F.lit("wrong")
+        ),
+    )
+    a = _rows(transform_requests(req, cfg, verify=False))
+    b = _rows(transform_requests_arrow(req, cfg, verify=False))
+    assert a == b
+    assert a, "bearer filter must admit the matching half"
+    assert all(int(d) % 2 == 0 for d in a), "only bearer-matching rows admitted"
+
+
 def test_arrow_verify_in_pass(spark):
     chain = "crop:8:0/format:png"
     req = requests_df(spark, SF_SMALL, chain).limit(20)

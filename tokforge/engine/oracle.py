@@ -120,16 +120,33 @@ def _size_bytes_expr(t: str, elem_bytes: int) -> str:
     return f"CAST(CASE WHEN len({t}) = 0 THEN 0 ELSE ({runs}) * {elem_bytes} END AS BIGINT)"
 
 
+def _tokens_select(digest_tokens: bool) -> str:
+    """The token output column: either the raw array (for composing
+    queries that need element access) or a deterministic md5 digest of the
+    comma-joined values — the digest is sortable/hashable by the driver's
+    canonicalizer, which cannot handle array cells.  Spark mirror:
+    ``md5(concat_ws(',', cast(tokens_out as array<string>)))``."""
+    if digest_tokens:
+        return "md5(array_to_string(t, ',')) AS tokens_md5"
+    return "list_transform(t, x -> CAST(x AS INTEGER)) AS tokens_out"
+
+
 def oracle_transform_sql(
     ops: str,
     presets: dict[str, str] | None = None,
     default_format: str | None = None,
     where: str | None = None,
+    digest_tokens: bool = False,
 ) -> str:
     """Full DuckDB query reproducing ``transform_requests`` output columns
-    (doc_id, n_out, tokens_out, dtype, size_bytes, quality, fmt) for one
-    fixed ops chain over the driver's `documents` table."""
+    (doc_id, n_out, tokens_out|tokens_md5, dtype, size_bytes, quality, fmt)
+    for one fixed ops chain over the driver's `documents` table."""
     plan: Plan = parse_chain(ops, presets)
+    if plan.skip_processing:
+        # The kernel's skip_processing bypass depends on per-row src_dtype
+        # matching; emitting fixed-format SQL would silently drift.  Fail at
+        # registration instead (covered by pytest kernel-vs-rect parity).
+        raise ValueError("oracle_transform_sql does not support skip_processing chains")
     steps = _Steps(
         "base AS (SELECT doc_id, doc_num, orientation, src_dtype, ts, "
         "list_transform(tokens, x -> CAST(x AS BIGINT)) AS t FROM req"
@@ -156,7 +173,7 @@ def oracle_transform_sql(
             + f"""
 SELECT doc_id,
        CAST(len(t) AS INTEGER) AS n_out,
-       list_transform(t, x -> CAST(x AS INTEGER)) AS tokens_out,
+       {_tokens_select(digest_tokens)},
        {dtype_case} AS dtype,
        CAST(CASE WHEN len(t) = 0 THEN 0 ELSE ({runs}) * ({elem_case}) END AS BIGINT) AS size_bytes,
        CAST(0 AS INTEGER) AS quality,
@@ -363,8 +380,19 @@ FROM {steps.current}"""
             x_raw = "(len(t) - wlen) // 2"
         steps.add_aux([("wlen", wm_len), ("wmarg", margin)])
         steps.add_aux([("wx", f"greatest(0, least({x_raw}, len(t) - wlen))")])
+        if plan.watermark_url:
+            # Custom watermark payload (reference: watermark.rs:25-97 decodes
+            # an arbitrary watermark source; wmu arg in options.rs).  The
+            # chain is fixed, so the decoded payload is a SQL literal.
+            from tokforge.operators.kernel import watermark_payload_tokens
+
+            payload = [int(x) for x in watermark_payload_tokens(plan.watermark_url)]
+            lit = "[" + ", ".join(str(x) for x in payload) + "]"
+            wm_val = f"(CAST({lit} AS BIGINT[]))[((i - wx) % {len(payload)}) + 1]"
+        else:
+            wm_val = f"{SENTINEL_BASE} + ((i - wx) % 100)"
         blend = (
-            f"CAST(floor({_dbl(o)} * CAST({SENTINEL_BASE} + ((i - wx) % 100) AS DOUBLE) + "
+            f"CAST(floor({_dbl(o)} * CAST({wm_val} AS DOUBLE) + "
             f"{_dbl(1.0 - o)} * CAST(t[i + 1] AS DOUBLE) + 0.5) AS BIGINT)"
         )
         steps.replace_t(
@@ -383,9 +411,14 @@ FROM {steps.current}"""
     # Encode. For a fixed chain the format is static unless it falls back to
     # the per-row source dtype.
     if out_fmt == "__src__":
+        if plan.save.max_bytes is not None:
+            raise ValueError(
+                "oracle_transform_sql: max_bytes with source-dtype fallback "
+                "format is not SQL-expressible (per-row format); set an "
+                "explicit format"
+            )
         # quantization: lossy only for jpeg-mapped dtypes; src dtypes are all
         # lossless, so only the dtype rule varies per row.
-        quality = plan.quality if plan.quality is not None else DEFAULT_QUALITY
         steps.replace_t(
             "CASE WHEN src_dtype = 'int16' THEN "
             "list_transform(t, x -> greatest(-32768, least(32767, x))) "
@@ -401,7 +434,21 @@ FROM {steps.current}"""
             "WHEN 'int64' THEN 8 ELSE 4 END"
         )
         fmt_sql = "src_dtype"
-        quality_sql = f"CAST({quality} AS INTEGER)"
+        if plan.quality is not None:
+            quality_sql = f"CAST({min(max(plan.quality, 1), 100)} AS INTEGER)"
+        elif plan.save.format_quality:
+            # kernel.py:606 resolves quality from format_quality by the
+            # per-row output format (= src_dtype here), falling back to the
+            # default — mirror with a per-row CASE.
+            arms = " ".join(
+                f"WHEN '{k}' THEN {min(max(v, 1), 100)}"
+                for k, v in sorted(plan.save.format_quality.items())
+            )
+            quality_sql = (
+                f"CAST(CASE src_dtype {arms} ELSE {DEFAULT_QUALITY} END AS INTEGER)"
+            )
+        else:
+            quality_sql = f"CAST({DEFAULT_QUALITY} AS INTEGER)"
         runs = "1 + len(list_filter(range(1, len(t)), i -> t[i + 1] != t[i]))"
         size_sql = (
             f"CAST(CASE WHEN len(t) = 0 THEN 0 ELSE ({runs}) * ({elem_sql}) END AS BIGINT)"
@@ -412,18 +459,64 @@ FROM {steps.current}"""
         if quality is None:
             quality = plan.save.format_quality.get(out_fmt, DEFAULT_QUALITY)
         quality = min(max(quality, 1), 100)
-        if lossy:
-            step = quality_step(quality)
-            if step > 1:
-                steps.replace_t(f"list_transform(t, x -> x - x % {step})")
-        if rule == "saturate":
-            steps.replace_t("list_transform(t, x -> greatest(-32768, least(32767, x)))")
-        elif rule == "mod256":
-            steps.replace_t("list_transform(t, x -> x % 256)")
         dtype_sql = f"'{dtype}'"
         fmt_sql = f"'{out_fmt}'"
-        quality_sql = f"CAST({quality} AS INTEGER)"
-        size_sql = _size_bytes_expr("t", elem_bytes)
+
+        def _rule_expr(e: str) -> str:
+            if rule == "saturate":
+                return f"list_transform({e}, x -> greatest(-32768, least(32767, x)))"
+            if rule == "mod256":
+                return f"list_transform({e}, x -> x % 256)"
+            return e
+
+        if plan.save.max_bytes is None:
+            if lossy:
+                step = quality_step(quality)
+                if step > 1:
+                    steps.replace_t(f"list_transform(t, x -> x - x % {step})")
+            if rule != "none":
+                steps.replace_t(_rule_expr("t"))
+            quality_sql = f"CAST({quality} AS INTEGER)"
+            size_sql = _size_bytes_expr("t", elem_bytes)
+        else:
+            # max_bytes quality walk-down (reference: save.rs:46-64; kernel
+            # op_encode loop).  The candidate-quality sequence is a pure
+            # function of the starting q — q, q-5, ... floored at 1 — so the
+            # per-row loop unrolls into a fixed CASE cascade: encode at every
+            # candidate, pick the first whose RLE size fits (or q == 1).
+            mb = plan.save.max_bytes
+            cands: list[int] = []
+            qq = quality
+            while True:
+                cands.append(qq)
+                if qq <= 1:
+                    break
+                qq = max(qq - 5, 1)
+            enc_aux = []
+            for i, qc in enumerate(cands):
+                e = "t"
+                # kernel: quantize when the format is lossy OR the walk-down
+                # already lowered quality below the starting q.
+                if lossy or qc < quality:
+                    step = quality_step(qc)
+                    if step > 1:
+                        e = f"list_transform(t, x -> x - x % {step})"
+                enc_aux.append((f"mbt{i}", _rule_expr(e)))
+            steps.add_aux(enc_aux)
+            steps.add_aux(
+                [(f"mbs{i}", _size_bytes_expr(f"mbt{i}", elem_bytes)) for i in range(len(cands))]
+            )
+            fit_arms = " ".join(
+                f"WHEN mbs{i} <= {mb} THEN {i}" for i in range(len(cands) - 1)
+            )
+            steps.add_aux(
+                [("mbpick", f"CASE {fit_arms} ELSE {len(cands) - 1} END")]
+            )
+            t_arms = " ".join(f"WHEN {i} THEN mbt{i}" for i in range(len(cands)))
+            steps.replace_t(f"CASE mbpick {t_arms} ELSE mbt0 END")
+            q_arms = " ".join(f"WHEN {i} THEN {cands[i]}" for i in range(len(cands)))
+            quality_sql = f"CAST(CASE mbpick {q_arms} ELSE {cands[0]} END AS INTEGER)"
+            size_sql = _size_bytes_expr("t", elem_bytes)
 
     return (
         f"WITH {sql_requests_cte()},\n"
@@ -431,7 +524,7 @@ FROM {steps.current}"""
         + f"""
 SELECT doc_id,
        CAST(len(t) AS INTEGER) AS n_out,
-       list_transform(t, x -> CAST(x AS INTEGER)) AS tokens_out,
+       {_tokens_select(digest_tokens)},
        {dtype_sql} AS dtype,
        {size_sql} AS size_bytes,
        {quality_sql} AS quality,

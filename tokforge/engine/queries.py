@@ -10,6 +10,7 @@ are pure built-in DataFrame ops with hand-written SQL mirrors.
 
 from __future__ import annotations
 
+import base64
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -34,30 +35,33 @@ CONFIG = EngineConfig()
 # several compose with others deliberately so op ORDER is exercised too.
 # ---------------------------------------------------------------------------
 
+# Custom watermark payload for the watermark_url chain (reference wmu arg,
+# options.rs; the base64url-decoded payload becomes the injected block,
+# watermark.rs:25-97).
+_WMU_PAYLOAD = "TOKFORGE-WM"
+_WMU_B64 = base64.urlsafe_b64encode(_WMU_PAYLOAD.encode()).decode().rstrip("=")
+
+# Driver-gated chains: every operator family from SURVEY.md §2.1-2.3 appears
+# at least once, folded so the full registry (op chains + named + pipeline)
+# fits the driver's 50-query correctness window.  The finer-grained
+# single-op chains live in OP_CHAINS_EXTRA (kernel-vs-oracle parity is
+# asserted per-chain by tests/test_oracle_parity.py).
 OP_CHAINS: dict[str, str] = {
     "op_resize_fit": "resize:fit:64/format:int16",
     "op_resize_fill": "resize:fill:50:0:0:0/gravity:soea/format:png",
     "op_resize_force": "resize:force:80:0:1/format:jpeg/quality:70",
-    "op_resize_auto": "resize:auto:90/format:tiff",
-    "op_size_sugar": "size:77/format:webp",
+    "op_resize_auto_quality": "resize:auto:90/quality:30/format:avif",
+    "op_size_min_dpr": "dpr:2.5/size:40/resizing_type:fill/min-width:120/padding:3/format:png",
     "op_crop_gravity": "crop:40:0:ea/format:int32",
     "op_extend": "resize:fit:300:0:1:1/extend:1:nowe/background:10:20:30/format:png",
-    "op_padding": "padding:5:7/background:ff0000/format:png",
-    "op_rotate": "auto_rotate:false/rotate:270/format:png",
-    "op_flip": "flip:1:0/format:png",
-    "op_exif_autorotate": "crop:24:0:ce/format:png",  # auto_rotate defaults on
-    "op_zoom": "zoom:1.5/format:int64",
-    "op_min_length": "min-width:120/format:int32",
-    "op_dpr": "dpr:2.5/resize:fit:40/padding:3/format:png",
-    "op_blur": "blur:2/format:png",
-    "op_sharpen": "sharpen:0.5/format:png",
-    "op_pixelate": "pixelate:7/format:png",
-    "op_adjust": "brightness:100/contrast:1.4/saturation:0.6/format:png",
+    "op_rotate_gif": "auto_rotate:false/rotate:270/format:gif",
+    "op_flip_uint8": "flip:1:0/format:uint8",
+    "op_exif_zoom": "zoom:1.5/crop:24:0:ce/format:int64",  # auto_rotate defaults on
+    "op_effects": "blur:2/sharpen:0.5/pixelate:7/brightness:100/contrast:1.4/saturation:0.6/format:png",
     "op_watermark": "watermark:0.7:soea/format:png",
+    "op_watermark_url": f"watermark:0.8:ce/watermark_url:{_WMU_B64}/format:png",
     "op_flatten": "watermark:1:nowe/background:0:0:255/format:jpeg/quality:90",
-    "op_quality": "quality:30/format:avif",
-    "op_format_gif": "rotate:90/format:gif",
-    "op_format_uint8": "format:uint8",
+    "op_max_bytes": "size:64/quality:20/max_bytes:150/format:jpeg",
     "op_format_default": "crop:50:0:ce",  # no format -> source dtype path
     "op_raw": "raw",
     "op_chain_flagship": (
@@ -66,7 +70,38 @@ OP_CHAINS: dict[str, str] = {
         "watermark:0.6:soea/background:336699/quality:80/format:jpeg"
     ),
     # edge/override semantics (options.rs merge rules, zero-dim derivation,
-    # gravity corners, lossless-quality boundary)
+    # gravity corners, lossless-quality boundary) — folded composites
+    "op_edge_resize": "resize:fill:0:60/format:png",
+    "op_edge_geometry": (
+        "crop:0:0/resize:fit:280:0:0:1/extend:1:soea/background:abcdef/"
+        "flip:0:1/rotate:180/format:png"
+    ),
+    "op_edge_encode": "format_quality:jpeg:100:avif:40/format:jpeg",
+    "op_edge_effects": (
+        "background:10:20:30/background_alpha:0.5/padding:2/blur:1/sharpen:1/"
+        "pixelate:3/brightness:-80/format:png"
+    ),
+}
+
+# Pytest-parity-only chains (not in the driver window; each is covered by
+# tests/test_oracle_parity.py kernel-vs-oracle equality on sf0.001).
+OP_CHAINS_EXTRA: dict[str, str] = {
+    "op_resize_auto": "resize:auto:90/format:tiff",
+    "op_size_sugar": "size:77/format:webp",
+    "op_padding": "padding:5:7/background:ff0000/format:png",
+    "op_rotate": "auto_rotate:false/rotate:270/format:png",
+    "op_flip": "flip:1:0/format:png",
+    "op_exif_autorotate": "crop:24:0:ce/format:png",
+    "op_zoom": "zoom:1.5/format:int64",
+    "op_min_length": "min-width:120/format:int32",
+    "op_dpr": "dpr:2.5/resize:fit:40/padding:3/format:png",
+    "op_blur": "blur:2/format:png",
+    "op_sharpen": "sharpen:0.5/format:png",
+    "op_pixelate": "pixelate:7/format:png",
+    "op_adjust": "brightness:100/contrast:1.4/saturation:0.6/format:png",
+    "op_quality": "quality:30/format:avif",
+    "op_format_gif": "rotate:90/format:gif",
+    "op_format_uint8": "format:uint8",
     "op_resize_height_derived": "resize:fill:0:60/format:png",
     "op_resize_partial_override": "resize:fit:10/resize::20/format:png",
     "op_resizing_type_merge": "size:44/resizing_type:fill/gravity:ea/format:png",
@@ -83,6 +118,17 @@ _PRESETS = {"thumb": "resize:fit:48/quality:60/format:jpeg"}
 _PRESET_CHAIN = "preset:thumb/rotate:180"
 
 
+def tokens_digest_col(col: str = "tokens_out") -> "F.Column":
+    """Deterministic scalar digest of the output token array — the driver's
+    canonicalizer sorts/hashes cell values and cannot handle list cells, so
+    every gated query exposes md5(join(tokens, ',')) instead of the raw
+    array.  DuckDB mirror: md5(array_to_string(tokens_out, ','))."""
+    joined = F.concat_ws(",", F.col(col).cast("array<string>"))
+    return F.when(F.col(col).isNull(), F.lit(None).cast("string")).otherwise(
+        F.md5(joined)
+    )
+
+
 def _op_query(chain: str, presets: dict[str, str] | None = None):
     cfg = CONFIG if presets is None else EngineConfig(presets=tuple(presets.items()))
 
@@ -90,7 +136,13 @@ def _op_query(chain: str, presets: dict[str, str] | None = None):
         req = requests_df(spark, sf_dir, chain)
         out = transform_requests(req, cfg, verify=False)
         return out.select(
-            "doc_id", "n_out", "tokens_out", "dtype", "size_bytes", "quality", "fmt"
+            "doc_id",
+            "n_out",
+            tokens_digest_col().alias("tokens_md5"),
+            "dtype",
+            "size_bytes",
+            "quality",
+            "fmt",
         )
 
     return run
@@ -356,7 +408,7 @@ def q_topk_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_topk_longest() -> str:
-    inner = oracle_transform_sql(OP_CHAINS["op_chain_flagship"])
+    inner = oracle_transform_sql(OP_CHAINS["op_chain_flagship"], digest_tokens=False)
     return f"""WITH txout AS ({inner})
 SELECT doc_id, size_bytes, rank FROM (
   SELECT doc_id, size_bytes,
@@ -381,7 +433,7 @@ def q_info(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_info() -> str:
-    inner = oracle_transform_sql(OP_CHAINS["op_watermark"])
+    inner = oracle_transform_sql(OP_CHAINS["op_watermark"], digest_tokens=False)
     return f"""WITH txout AS ({inner})
 SELECT doc_id, n_out, dtype, size_bytes,
        list_max(tokens_out) AS max_token,
@@ -409,15 +461,14 @@ def _pipeline_registry():
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 entries, ordered so every distinct operator family is
+    inside the driver's correctness window: auth/admission/windows/cache
+    first (round 1 left them unchecked), then pipeline, then op chains."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name, chain in OP_CHAINS.items():
-        q[name] = _op_query(chain)
-    for name, (fn, _sql) in _pipeline_registry().items():
-        q[name] = fn
-    q["op_presets"] = q_presets
     q["sig_validate"] = q_sig_validate
     q["admission_expires"] = q_admission_expires
     q["admission_limits"] = q_admission_limits
+    q["op_presets"] = q_presets
     q["window_tumbling"] = q_window_tumbling
     q["window_sliding"] = q_window_sliding
     q["window_session"] = q_window_session
@@ -426,17 +477,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cache_hit_miss"] = q_cache_hit_miss
     q["topk_longest"] = q_topk_longest
     q["info"] = q_info
+    for name, (fn, _sql) in _pipeline_registry().items():
+        q[name] = fn
+    for name, chain in OP_CHAINS.items():
+        q[name] = _op_query(chain)
     return q
 
 
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
-    for name, chain in OP_CHAINS.items():
-        o[name] = oracle_transform_sql(chain)
-    o["op_presets"] = oracle_transform_sql(_PRESET_CHAIN, _PRESETS)
     o["sig_validate"] = SQL_SIG_VALIDATE
     o["admission_expires"] = SQL_ADMISSION_EXPIRES
     o["admission_limits"] = SQL_ADMISSION_LIMITS
+    o["op_presets"] = oracle_transform_sql(_PRESET_CHAIN, _PRESETS, digest_tokens=True)
     o["window_tumbling"] = SQL_WINDOW_TUMBLING
     o["window_sliding"] = SQL_WINDOW_SLIDING
     o["window_session"] = SQL_WINDOW_SESSION
@@ -447,4 +500,6 @@ def oracle_sql() -> dict[str, str]:
     o["info"] = _sql_info()
     for name, (_fn, sql) in _pipeline_registry().items():
         o[name] = sql
+    for name, chain in OP_CHAINS.items():
+        o[name] = oracle_transform_sql(chain, digest_tokens=True)
     return o

@@ -27,9 +27,11 @@ from pyspark.sql import functions as F
 
 
 def salt_col(df_key: Column, buckets: int, entropy: Column) -> Column:
-    """Deterministic salt in [0, buckets) derived from a high-cardinality
-    column (NOT random — replays must be byte-identical)."""
-    return F.pmod(F.hash(entropy), F.lit(buckets))
+    """Deterministic salt in [0, buckets) mixing the partition key with a
+    high-cardinality column (NOT random — replays must be byte-identical).
+    Mixing the key keeps two distinct hot keys from landing their salt
+    buckets on the same reducers."""
+    return F.pmod(F.hash(df_key, entropy), F.lit(buckets))
 
 
 def salted_repartition(

@@ -210,6 +210,16 @@ def make_sign_udf(config: EngineConfig = DEFAULT_CONFIG):
     return sign_udf
 
 
+def admit_bearer(df: DataFrame, config: EngineConfig) -> DataFrame:
+    """Bearer-secret admission gate (reference: service.rs:432-446): a
+    constant-token filter evaluated JVM-side before any Python work.
+    Shared by BOTH execution paths — the pandas and Arrow transforms must
+    stay row-identical (docs/SEMANTICS.md invariant)."""
+    if config.bearer_token is not None and "bearer" in df.columns:
+        return df.filter(F.col("bearer").eqNullSafe(F.lit(config.bearer_token)))
+    return df
+
+
 def cache_key_col(config: EngineConfig = DEFAULT_CONFIG) -> Column:
     """Cache key = ops chain + doc id, prefixed with the default format when
     the chain names none (reference: service.rs:151-162 cache_key_for_path).
@@ -236,7 +246,7 @@ def transform_requests(
     pruning and whole-stage codegen around the one Arrow exchange.
     """
     transform_udf = make_transform_udf(config)
-    df = requests
+    df = admit_bearer(requests, config)
     if verify:
         verify_udf = make_verify_udf(config)
         df = df.withColumn(

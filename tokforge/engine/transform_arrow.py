@@ -238,11 +238,9 @@ def transform_requests_arrow(
 ) -> DataFrame:
     """Arrow-native equivalent of ``transform_requests`` (same output
     columns and values; tests assert parity)."""
-    df = requests
-    # Bearer-secret gate (reference: service.rs:432-446): a constant-token
-    # admission filter, evaluated JVM-side before any Python work.
-    if config.bearer_token is not None and "bearer" in df.columns:
-        df = df.filter(F.col("bearer").eqNullSafe(F.lit(config.bearer_token)))
+    from tokforge.engine.transform import admit_bearer
+
+    df = admit_bearer(requests, config)
     df = df.withColumn("ts_unix", F.unix_timestamp(F.col("ts")))
     cols = [
         "doc_id", "source", "ts", "ops", "n_tok",

@@ -338,10 +338,28 @@ def watermark_tokens(length: int) -> np.ndarray:
     return (SENTINEL_BASE + (np.arange(length, dtype=np.int64) % 100)).astype(np.int64)
 
 
-def op_watermark(t: np.ndarray, opacity: float, position: str) -> np.ndarray:
+def watermark_payload_tokens(payload: str) -> np.ndarray:
+    """Custom watermark payload -> sentinel-range token block (reference:
+    watermark.rs:25-97 decodes an arbitrary watermark source supplied via
+    the base64url `watermark_url`/`wmu` option, options.rs).  Each payload
+    byte maps into the reserved sentinel range; the block cycles to the
+    watermark length like the reference tiles its watermark image."""
+    b = payload.encode("utf-8")
+    if len(b) == 0:
+        return watermark_tokens(100)
+    return SENTINEL_BASE + (np.frombuffer(b, dtype=np.uint8).astype(np.int64) % 100)
+
+
+def op_watermark(
+    t: np.ndarray,
+    opacity: float,
+    position: str,
+    payload: Optional[np.ndarray] = None,
+) -> np.ndarray:
     """Inject a sentinel block of length ceil(n/4) at the 9-way position with
     a 5% margin; opacity blends toward the sentinel
-    (reference: watermark.rs:100-206)."""
+    (reference: watermark.rs:100-206).  ``payload`` (from watermark_url)
+    replaces the default sentinel pattern, cycled to the block length."""
     n = len(t)
     if n == 0:
         return t
@@ -354,7 +372,10 @@ def op_watermark(t: np.ndarray, opacity: float, position: str) -> np.ndarray:
     else:  # no/so/ce and unknown -> centered (reference `_ =>` arm)
         x = (n - wm_len) // 2
     x = max(0, min(x, n - wm_len))
-    wm = watermark_tokens(wm_len)
+    if payload is not None and len(payload) > 0:
+        wm = payload[np.arange(wm_len, dtype=np.int64) % len(payload)]
+    else:
+        wm = watermark_tokens(wm_len)
     out = t.astype(np.int64).copy()
     seg = out[x : x + wm_len].astype(np.float64)
     blended = np.floor(opacity * wm.astype(np.float64) + (1.0 - opacity) * seg + 0.5)
@@ -592,9 +613,15 @@ def apply_plan(
     if plan.pixelate is not None and plan.pixelate > 0:
         t = op_pixelate(t, plan.pixelate)
 
-    # Watermark (mod.rs:214-222).
+    # Watermark (mod.rs:214-222); watermark_url supplies a custom payload
+    # (watermark.rs:25-97), otherwise the fixed sentinel block.
     if plan.watermark is not None:
-        t = op_watermark(t, plan.watermark.opacity, plan.watermark.position)
+        payload = (
+            watermark_payload_tokens(plan.watermark_url)
+            if plan.watermark_url
+            else None
+        )
+        t = op_watermark(t, plan.watermark.opacity, plan.watermark.position, payload)
 
     # Background flatten, jpeg output only (mod.rs:223-229).
     if plan.background is not None and out_fmt.lower() == "jpeg":

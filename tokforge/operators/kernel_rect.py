@@ -310,9 +310,17 @@ def apply_plan_rect(
             x = (n - wm_len) // 2
         x = max(0, min(x, n - wm_len))
         o = plan.watermark.opacity
-        wm = (SENTINEL_BASE + (np.arange(wm_len, dtype=np.int64) % 100)).astype(
-            np.float64
-        )
+        if plan.watermark_url:
+            from tokforge.operators.kernel import watermark_payload_tokens
+
+            payload = watermark_payload_tokens(plan.watermark_url)
+            wm = payload[np.arange(wm_len, dtype=np.int64) % len(payload)].astype(
+                np.float64
+            )
+        else:
+            wm = (SENTINEL_BASE + (np.arange(wm_len, dtype=np.int64) % 100)).astype(
+                np.float64
+            )
         t = t.copy()
         seg = t[:, x : x + wm_len].astype(np.float64)
         t[:, x : x + wm_len] = np.clip(

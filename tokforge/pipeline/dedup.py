@@ -205,7 +205,9 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
-def _sql_lsh_pairs() -> str:
+def _lsh_ctes() -> str:
+    """The shared CTE chain (req -> shingles -> minhash sig -> bands ->
+    candidate pairs), composable so the Jaccard verifier reuses it."""
     hashes = ", ".join(
         f"list_min(list_transform(feats, g -> (g * {A[j]} + {B[j]}) % {P})) AS h{j}"
         for j in range(N_HASHES)
@@ -219,7 +221,7 @@ def _sql_lsh_pairs() -> str:
     band_structs = ", ".join(
         f"{{'bi': {i}, 'bv': {band_sql(i)}}}" for i in range(N_BANDS)
     )
-    return f"""WITH {sql_requests_cte()},
+    return f"""{sql_requests_cte()},
 sh AS (SELECT doc_id,
               list_distinct(list_transform({_SQL_SHINGLES}, g -> g % {FEATURE_SPACE})) AS feats
        FROM req),
@@ -227,11 +229,17 @@ sig AS (SELECT doc_id, {hashes} FROM sh WHERE len(feats) > 0),
 bands AS (
   SELECT doc_id, b.bi AS band_idx, b.bv AS band_val
   FROM sig, unnest([{band_structs}]) AS u(b)
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
-  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
- AND CAST(a.doc_id AS BIGINT) < CAST(b.doc_id AS BIGINT)"""
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND CAST(a.doc_id AS BIGINT) < CAST(b.doc_id AS BIGINT)
+)"""
+
+
+def _sql_lsh_pairs() -> str:
+    return f"WITH {_lsh_ctes()}\nSELECT doc_a, doc_b FROM cand"
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -265,46 +273,37 @@ SELECT doc_id, CAST({simhash} AS BIGINT) AS simhash16 FROM req"""
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard over distinct token sets for candidate pairs inside
-    (lang, n_tok) buckets — the verify stage after LSH blocking.  The join
-    shuffles on the bucket key only; buckets bound the pair blowup."""
-    docs = load_documents(spark, sf_dir).select("doc_id", "lang")
-    req = requests_df(spark, sf_dir, "jaccard").withColumn(
-        "doc_num", F.col("doc_id").cast("long")
-    )
-    toks = req.join(
-        docs.withColumn("doc_id", F.col("doc_id").cast("string")), "doc_id"
-    ).select("doc_id", "doc_num", "lang", "n_tok", F.array_distinct("tokens").alias("tset"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.tset"), F.col("b.tset")))
-    union = F.size(F.array_union(F.col("a.tset"), F.col("b.tset")))
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.n_tok") == F.col("b.n_tok"))
-            & (F.col("a.doc_num") < F.col("b.doc_num")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(inter.cast("double") / union, 4).alias("jaccard"),
-        )
+    """Exact Jaccard over distinct token sets — the verify stage AFTER LSH
+    blocking: it consumes the `dedup_lsh_pairs` candidates (never a
+    self-join), so cost is O(candidates), two hash joins keyed on doc id.
+    At 100 TB the candidate set is LSH-bounded; the round-1 version's
+    all-pairs-within-(lang, n_tok)-buckets shape is gone."""
+    pairs = q_lsh_pairs(spark, sf_dir)
+    req = _materialized_requests(spark, sf_dir, "jaccard")
+    toks = req.select("doc_id", F.array_distinct("tokens").alias("tset"))
+    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("tset").alias("tset_a"))
+    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("tset").alias("tset_b"))
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect(F.col("tset_a"), F.col("tset_b")))
+    union = F.size(F.array_union(F.col("tset_a"), F.col("tset_b")))
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        F.round(inter.cast("double") / union, 4).alias("jaccard"),
     )
 
 
 def _sql_ngram_jaccard() -> str:
-    return f"""WITH {sql_requests_cte()},
+    return f"""WITH {_lsh_ctes()},
 toks AS (
-  SELECT r.doc_id, r.doc_num, d.lang, r.n_tok, list_distinct(r.tokens) AS tset
-  FROM req r JOIN documents d ON r.doc_num = d.doc_id
+  SELECT doc_id, list_distinct(tokens) AS tset FROM req
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+SELECT c.doc_a, c.doc_b,
        round(CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
              / len(list_distinct(list_concat(a.tset, b.tset))), 4) AS jaccard
-FROM toks a JOIN toks b
-  ON a.lang = b.lang AND a.n_tok = b.n_tok AND a.doc_num < b.doc_num"""
+FROM cand c
+JOIN toks a ON a.doc_id = c.doc_a
+JOIN toks b ON b.doc_id = c.doc_b"""
 
 
 DEDUP_QUERIES = {

@@ -1,11 +1,19 @@
 """Similarity search over the `embeddings` table (array<float>, dim 64):
-brute-force cosine top-k as the exactness baseline, and an IVF-style
-coarse-quantizer assignment as the scale path (probe one cell instead of
-the whole corpus).
+brute-force cosine top-k as the exactness baseline, IVF coarse assignment
+plus a cell-pruned probe query as the scale path, and LSH sign-bucketed
+near-duplicate pairs.
 
-At 100 TB the brute-force path is a broadcast join (tiny query set against
-a huge corpus — no shuffle of the corpus), and the IVF path turns top-k
-into a per-cell local problem: shuffle once on cell id, search within.
+100 TB shapes:
+- brute-force: the tiny query set broadcasts; the corpus never shuffles;
+  top-k is two-phase (local per-partition top-k, then a final rank over
+  <= k * n_partitions survivors) so no reducer ever sees the whole corpus.
+- IVF: the centroid codebook is collected driver-side (it is the small dim
+  table — standard KMeans/IVF practice), assignment is a pure column
+  expression (zero shuffle), and the probe joins only the query's cell.
+- near-dup: sign-LSH over NEAR_DUP_BITS hyperplanes (bucket count 2^bits
+  grows with the corpus via the constant) with 1-bit multi-probe for
+  recall; candidate pairs stay within (bucket, probe) keys — all-pairs
+  never materializes.
 
 Cosine math is done in DOUBLE with identical accumulation order on both
 engines and rounded to 4 decimals so Spark and DuckDB hash-match.
@@ -13,14 +21,17 @@ engines and rounded to 4 decimals so Spark and DuckDB hash-match.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tokforge.sources.requests import load_embeddings
 
-N_QUERIES = 4  # vec_id < 4 act as the query set
+N_QUERIES = 4  # vec_id < 4 act as the query set for brute-force knn
 TOP_K = 10
-N_CELLS = 4  # IVF coarse cells = the query vectors as centroids
+N_CELLS = 4  # IVF coarse cells = the first N_CELLS vectors as centroids
+# IVF probe queries: a disjoint slice so the probe is a real search, not a
+# self-lookup of the centroids.
+PROBE_LO, PROBE_HI = N_CELLS, N_CELLS + 4
 
 
 def _dot_spark(a, b):
@@ -50,11 +61,35 @@ _SQL_NORM = (
 )
 
 
+def topk_per_key(
+    df: DataFrame,
+    key: str,
+    order_cols: list[Column],
+    k: int,
+    rank_name: str = "rank",
+) -> DataFrame:
+    """Scalable per-key top-k: a window over partitionBy(key) alone funnels
+    every key's full row set through one reducer (the round-1 scale-killer
+    with 4 query ids).  Instead: local top-k inside each input partition
+    (keyed by (key, spark_partition_id)), then the final rank only sees
+    <= k * n_partitions survivors per key — the partial-agg shape of a
+    distributed heap merge."""
+    w_local = Window.partitionBy(key, "_pid").orderBy(*order_cols)
+    w_final = Window.partitionBy(key).orderBy(*order_cols)
+    return (
+        df.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lrk", F.row_number().over(w_local))
+        .filter(F.col("_lrk") <= k)
+        .drop("_pid", "_lrk")
+        .withColumn(rank_name, F.row_number().over(w_final))
+        .filter(F.col(rank_name) <= k)
+    )
+
+
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: broadcast the query vectors against the corpus,
-    rank per query.  The corpus never shuffles; ranking is one window over
-    (query, cos) — at scale replace row_number with a per-partition top-k
-    + final merge, which AQE handles via partial aggregation."""
+    two-phase rank per query (local top-k then merge) — the corpus never
+    shuffles and no single reducer sees more than k * n_partitions rows."""
     emb = load_embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
@@ -68,13 +103,10 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (_norm_spark(F.col("qvec")) * _norm_spark(F.col("embedding"))),
         4,
     )
-    ranked = joined.select("qid", "vec_id", cos.alias("cos_sim"))
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.col("vec_id"))
-    return (
-        ranked.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("qid", "vec_id", "cos_sim", "rank")
-    )
+    scored = joined.select("qid", "vec_id", cos.alias("cos_sim"))
+    return topk_per_key(
+        scored, "qid", [F.desc("cos_sim"), F.col("vec_id")], TOP_K
+    ).select("qid", "vec_id", "cos_sim", "rank")
 
 
 def _sql_knn_bruteforce() -> str:
@@ -97,7 +129,7 @@ SELECT qid, vec_id, cos_sim, rank FROM (
 def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse assignment: each vector goes to the cell of its most
     similar centroid (centroids = the first N_CELLS vectors, broadcast).
-    Downstream ANN probes only the query's cell."""
+    Downstream ANN probes only the query's cell (q_ivf_search)."""
     emb = load_embeddings(spark, sf_dir)
     cents = emb.filter(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
@@ -108,13 +140,20 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (_norm_spark(F.col("cvec")) * _norm_spark(F.col("embedding"))),
         4,
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.col("cell"))
-    assigned = (
-        scored.select("vec_id", "cell", cos.alias("cos"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
+    # per-vector argmax as a map-side-combinable agg (max of (cos, -cell)
+    # picks highest cos, tie -> lowest cell) — no per-vector window.
+    agg = (
+        scored.select(
+            "vec_id",
+            F.struct(
+                cos.alias("cos"), (-F.col("cell")).cast("int").alias("negcell")
+            ).alias("sc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("sc").alias("m"))
+        .select("vec_id", (-F.col("m.negcell")).alias("cell"), F.col("m.cos").alias("cos"))
     )
-    return assigned.groupBy("cell").agg(
+    return agg.groupBy("cell").agg(
         F.count("*").alias("n_vectors"),
         F.round(F.avg("cos"), 4).alias("avg_cos_to_centroid"),
     )
@@ -139,70 +178,194 @@ FROM assigned WHERE rk = 1
 GROUP BY cell"""
 
 
+def _cell_expr(cos_cols: list[Column]) -> Column:
+    """argmax over the per-centroid cosine columns; ties -> lowest cell
+    (mirrors the `ORDER BY cos DESC, cell` rank rule)."""
+    cell = F.lit(len(cos_cols) - 1)
+    for i in range(len(cos_cols) - 2, -1, -1):
+        cond = F.lit(True)
+        for j in range(i + 1, len(cos_cols)):
+            cond = cond & (cos_cols[i] >= cos_cols[j])
+        cell = F.when(cond, i).otherwise(cell)
+    return cell.cast("int")
+
+
+def _sql_cell_case(names: list[str]) -> str:
+    arms = []
+    for i in range(len(names) - 1):
+        cond = " AND ".join(f"{names[i]} >= {names[j]}" for j in range(i + 1, len(names)))
+        arms.append(f"WHEN {cond} THEN {i}")
+    return "CAST(CASE " + " ".join(arms) + f" ELSE {len(names) - 1} END AS INTEGER)"
+
+
+def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe: assign queries AND corpus to cells, search top-k only
+    within the query's cell (reference analog: the cache probe
+    short-circuit, service.rs:241-250 — check the narrow namespace before
+    touching the full corpus).
+
+    The centroid codebook is collected (N_CELLS rows — the broadcast dim
+    table), so cell assignment is a pure column expression over literal
+    arrays: zero shuffle for the corpus scan, one bounded shuffle for the
+    cell join, two-phase top-k for the rank."""
+    emb = load_embeddings(spark, sf_dir)
+    cent_rows = (
+        emb.filter(F.col("vec_id") < N_CELLS)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cents = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in cent_rows}
+
+    def cos_to_cent(vec_col: Column, cvec: list[float]) -> Column:
+        lit = F.array(*[F.lit(x) for x in cvec])
+        return F.round(
+            _dot_spark(lit, vec_col) / (_norm_spark(lit) * _norm_spark(vec_col)), 4
+        )
+
+    def with_cell(df: DataFrame) -> DataFrame:
+        cos_cols = [cos_to_cent(F.col("embedding"), cents[i]) for i in range(N_CELLS)]
+        return df.withColumn("cell", _cell_expr(cos_cols))
+
+    corpus = with_cell(emb.select("vec_id", "embedding"))
+    probes = with_cell(
+        emb.filter(
+            (F.col("vec_id") >= PROBE_LO) & (F.col("vec_id") < PROBE_HI)
+        ).select("vec_id", "embedding")
+    ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"), "cell"
+    )
+
+    joined = corpus.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    cos = F.round(
+        _dot_spark(F.col("qvec"), F.col("embedding"))
+        / (_norm_spark(F.col("qvec")) * _norm_spark(F.col("embedding"))),
+        4,
+    )
+    scored = joined.select("qid", "vec_id", cos.alias("cos_sim"))
+    return topk_per_key(
+        scored, "qid", [F.desc("cos_sim"), F.col("vec_id")], TOP_K
+    ).select("qid", "vec_id", "cos_sim", "rank")
+
+
+def _sql_ivf_search() -> str:
+    dot = _SQL_DOT.format(a="q.embedding", b="c.embedding")
+    nq = _SQL_NORM.format(a="q.embedding")
+    nc = _SQL_NORM.format(a="c.embedding")
+    cos_cases = ", ".join(
+        f"max(CASE WHEN cell = {i} THEN cos END) AS cos{i}" for i in range(N_CELLS)
+    )
+    cell_case = _sql_cell_case([f"cos{i}" for i in range(N_CELLS)])
+    qdot = _SQL_DOT.format(a="q.embedding", b="c.embedding")
+    return f"""WITH scored AS (
+  SELECT c.vec_id AS vec_id, c.embedding AS embedding, q.vec_id AS cell,
+         round(({dot}) / (({nq}) * ({nc})), 4) AS cos
+  FROM embeddings q JOIN embeddings c ON true
+  WHERE q.vec_id < {N_CELLS}
+), piv AS (
+  SELECT vec_id, embedding, {cos_cases}
+  FROM scored GROUP BY vec_id, embedding
+), assigned AS (
+  SELECT vec_id, embedding, {cell_case} AS cell FROM piv
+), hits AS (
+  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         round(({qdot}) / (({nq}) * ({nc})), 4) AS cos_sim
+  FROM assigned q JOIN assigned c
+    ON c.cell = q.cell AND c.vec_id != q.vec_id
+  WHERE q.vec_id >= {PROBE_LO} AND q.vec_id < {PROBE_HI}
+)
+SELECT qid, vec_id, cos_sim, rank FROM (
+  SELECT qid, vec_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+  FROM hits
+) WHERE rank <= {TOP_K}"""
+
+
 NEAR_DUP_THRESHOLD = 0.35  # synthetic 64-d corpus: top ~0.1% of pairs
-NEAR_DUP_BUCKETS = 8  # coarse sign-bucket on the first embedding dims
+# Sign-LSH hyperplane count: bucket space = 2^bits.  This is the knob that
+# grows with corpus size (8 static buckets was the round-1 scale-killer:
+# O(n^2/8) pairs).  12 bits -> 4096 buckets; 1-bit multi-probe keeps recall
+# for vectors straddling a hyperplane.
+NEAR_DUP_BITS = 12
 
 
 def _bucket_spark(vec) -> "F.Column":
-    """Cheap blocking key: sign pattern of the first 3 dims (8 buckets).
-    Near-identical vectors share signs, so candidate pairs stay within a
-    bucket — the all-pairs join never happens."""
+    """Blocking key: sign pattern of the first NEAR_DUP_BITS dims."""
     b = F.lit(0)
-    for i in range(3):
+    for i in range(NEAR_DUP_BITS):
         b = b * 2 + F.when(F.element_at(vec, i + 1) >= 0, 1).otherwise(0)
-    return b
+    return b.cast("long")
 
 
-_SQL_BUCKET = (
-    "((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) * 4 + "
-    "(CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END) * 2 + "
-    "(CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END))"
-)
+def _sql_bucket(col: str = "embedding") -> str:
+    terms = [
+        f"(CASE WHEN {col}[{i + 1}] >= 0 THEN 1 ELSE 0 END) * {2 ** (NEAR_DUP_BITS - 1 - i)}"
+        for i in range(NEAR_DUP_BITS)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: sign-bucket blocking, then
-    exact cosine inside each bucket, keep pairs above the threshold."""
+    """Embedding-cosine near-duplicate pairs: sign-LSH blocking over
+    NEAR_DUP_BITS hyperplanes with 1-bit multi-probe (side B explodes each
+    vector into its bucket plus the `bits` Hamming-1 neighbours), exact
+    cosine on the candidates, keep pairs above the threshold.  Candidate
+    volume is O(n^2 / 2^bits * (bits+1)) — bounded by the bits knob, never
+    all-pairs."""
     emb = load_embeddings(spark, sf_dir).select(
         "vec_id", "embedding", _bucket_spark(F.col("embedding")).alias("bucket")
     )
-    a, b = emb.alias("a"), emb.alias("b")
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << i)).cast("long")
+            for i in range(NEAR_DUP_BITS)
+        ],
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.explode(probes).alias("probe"),
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket"
+    )
     cos = F.round(
-        _dot_spark(F.col("a.embedding"), F.col("b.embedding"))
-        / (_norm_spark(F.col("a.embedding")) * _norm_spark(F.col("b.embedding"))),
+        _dot_spark(F.col("emb_a"), F.col("emb_b"))
+        / (_norm_spark(F.col("emb_a")) * _norm_spark(F.col("emb_b"))),
         4,
     )
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cos_sim"),
-        )
+        a.join(b, (F.col("bucket") == F.col("probe")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .distinct()
         .filter(F.col("cos_sim") >= NEAR_DUP_THRESHOLD)
     )
 
 
 def _sql_embed_near_dup() -> str:
-    dot = _SQL_DOT.format(a="a.embedding", b="b.embedding")
-    na = _SQL_NORM.format(a="a.embedding")
-    nb = _SQL_NORM.format(a="b.embedding")
+    dot = _SQL_DOT.format(a="a.emb_a", b="b.emb_b")
+    na = _SQL_NORM.format(a="a.emb_a")
+    nb = _SQL_NORM.format(a="b.emb_b")
+    probe_masks = ", ".join(["0"] + [str(1 << i) for i in range(NEAR_DUP_BITS)])
     return f"""WITH bucketed AS (
-  SELECT vec_id, embedding, {_SQL_BUCKET} AS bucket FROM embeddings
+  SELECT vec_id, embedding, {_sql_bucket()} AS bucket FROM embeddings
+), a AS (
+  SELECT vec_id AS vec_a, embedding AS emb_a, bucket FROM bucketed
+), b AS (
+  SELECT vec_id AS vec_b, embedding AS emb_b, xor(bucket, m) AS probe
+  FROM bucketed, unnest([{probe_masks}]) AS u(m)
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+SELECT DISTINCT vec_a, vec_b,
        round(({dot}) / (({na}) * ({nb})), 4) AS cos_sim
-FROM bucketed a JOIN bucketed b
-  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+FROM a JOIN b ON a.bucket = b.probe AND a.vec_a < b.vec_b
 WHERE round(({dot}) / (({na}) * ({nb})), 4) >= {NEAR_DUP_THRESHOLD}"""
 
 
 SIMILARITY_QUERIES = {
     "knn_bruteforce": (q_knn_bruteforce, _sql_knn_bruteforce()),
     "ann_ivf_assign": (q_ivf_assign, _sql_ivf_assign()),
+    "ann_ivf_search": (q_ivf_search, _sql_ivf_search()),
     "embed_near_dup": (q_embed_near_dup, _sql_embed_near_dup()),
 }

@@ -28,6 +28,12 @@ SRC_DTYPES = ("int32", "int16", "uint8")
 EPOCH_TS = "2024-01-01 00:00:00"
 TS_PERIOD_S = 7200  # requests spread over a 2h event-time span
 
+# Replica doc_id stride for bench-scale row multiplication: a constant far
+# above any real doc_id so replica id spaces never collide — NO driver-side
+# count() inside plan construction (an action during planning blocks the
+# driver and re-scans the source).
+REPLICA_STRIDE = 1 << 33
+
 
 # ---------------------------------------------------------------------------
 # Spark side
@@ -90,9 +96,8 @@ def requests_df(
     docs = load_documents(spark, sf_dir).select("doc_id", "source")
     if replicas > 1:
         reps = spark.range(replicas).select(F.col("id").alias("rep"))
-        n_docs = docs.count()
         docs = docs.crossJoin(F.broadcast(reps)).select(
-            (F.col("doc_id") + F.col("rep") * n_docs).alias("doc_id"),
+            (F.col("doc_id") + F.col("rep") * F.lit(REPLICA_STRIDE)).alias("doc_id"),
             "source",
         )
     d = F.col("doc_id")

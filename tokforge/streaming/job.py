@@ -44,6 +44,8 @@ def transform_stream(
     """
     stream = read_request_stream(spark, in_path, max_files_per_trigger)
     stream = stream.withWatermark("ts", watermark)
+    rejected_query = None
+    rejected_sink = None
     if verify:
         verify_udf = make_verify_udf(config)
         stream = stream.withColumn(
@@ -53,21 +55,62 @@ def transform_stream(
             rejected = stream.filter(~F.col("sig_valid")).select(
                 "doc_id", "source", "ts", "ops", F.lit("403").alias("status")
             )
-            rej_sink = IdempotentParquetSink(rejected_dir)
+            rejected_sink = IdempotentParquetSink(rejected_dir)
             rej_writer = (
-                rejected.writeStream.foreachBatch(rej_sink)
+                rejected.writeStream.foreachBatch(rejected_sink)
                 .option("checkpointLocation", rejected_dir + "/_ckpt")
                 .outputMode("append")
             )
             if available_now:
                 rej_writer = rej_writer.trigger(availableNow=True)
-            rej_writer.start()
+            rejected_query = rej_writer.start()
+            if available_now:
+                # The dead-letter channel drains the already-available input
+                # synchronously, so a failure surfaces here (awaitTermination
+                # re-raises) instead of being silently dropped, and callers
+                # never race its commits.
+                rejected_query.awaitTermination()
         stream = stream.filter(F.col("sig_valid"))
     cached = with_cache_state(stream, config, ttl_ms)
     cached = observe_requests(cached)
     sink = IdempotentParquetSink(out_dir)
+    # the dead-letter handles ride on the sink so the 2-tuple call shape
+    # stays stable for every caller while the channel remains observable
+    sink.rejected_query = rejected_query
+    sink.rejected_sink = rejected_sink
     writer = (
         cached.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="1 second")
+    return writer.start(), sink
+
+
+def info_stream(
+    spark: SparkSession,
+    in_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    config: EngineConfig = DEFAULT_CONFIG,
+    ttl_ms: int = 0,
+    watermark: str = "10 minutes",
+    available_now: bool = True,
+):
+    """The /info metadata pipeline: same source, but through the SECOND
+    state namespace (info cache keyed by doc_id — reference
+    cache.rs:240-256 / service.rs:347-408) into its own exactly-once sink.
+    Returns (query, sink)."""
+    from tokforge.streaming.info_state import with_info_state
+
+    stream = read_request_stream(spark, in_path).withWatermark("ts", watermark)
+    infod = with_info_state(stream, config, ttl_ms)
+    sink = IdempotentParquetSink(out_dir)
+    writer = (
+        infod.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )

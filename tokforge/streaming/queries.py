@@ -102,7 +102,52 @@ FROM req
 GROUP BY 1, 2"""
 
 
+_INFO_CHAIN = "crop:16:0:ce/format:int32"
+
+
+def q_stream_info_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2 event-time replicas of every request flow through the metadata
+    cache (the SECOND keyed state namespace, keyed by doc_id — reference
+    cache.rs:240-256): exactly 1 MISS + 1 HIT per document, and the HIT
+    serves the stored info (single n_out/size variant)."""
+    from tokforge.streaming.job import info_stream, read_sink
+
+    tmp = tempfile.mkdtemp(prefix="tokforge-q-stream-info-")
+    req = requests_df(spark, sf_dir, _INFO_CHAIN)
+    for i in range(2):
+        req.withColumn(
+            "ts", (F.unix_timestamp("ts") + i * 600).cast("timestamp")
+        ).write.mode("append").parquet(f"{tmp}/in/drop={i}")
+    query, _ = info_stream(
+        spark, f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt", _CFG, available_now=True
+    )
+    _drain(query)
+    out = read_sink(spark, f"{tmp}/out")
+    return out.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("info_status") == "MISS", 1).otherwise(0)).alias("n_miss"),
+        F.sum(F.when(F.col("info_status") == "HIT", 1).otherwise(0)).alias("n_hit"),
+        F.count_distinct("n_out").alias("n_variants"),
+        F.max("n_out").alias("n_out"),
+        F.max("dtype").alias("dtype"),
+        F.max("size_bytes").alias("size_bytes"),
+    )
+
+
+# crop:16:ce of the derived token stream: adjacent tokens always differ
+# (constant stride), so the RLE size is exactly n_out * 4 bytes.
+SQL_STREAM_INFO_CACHE = f"""WITH {sql_requests_cte()}
+SELECT doc_id,
+       CAST(1 AS BIGINT) AS n_miss,
+       CAST(1 AS BIGINT) AS n_hit,
+       CAST(1 AS BIGINT) AS n_variants,
+       least(n_tok, 16) AS n_out,
+       'int32' AS dtype,
+       CAST(least(n_tok, 16) * 4 AS BIGINT) AS size_bytes
+FROM req"""
+
+
 STREAMING_QUERIES = {
     "stream_cache_counts": (q_stream_cache_counts, SQL_STREAM_CACHE_COUNTS),
     "stream_window_tumbling": (q_stream_tumbling, SQL_STREAM_TUMBLING),
+    "stream_info_cache": (q_stream_info_cache, SQL_STREAM_INFO_CACHE),
 }

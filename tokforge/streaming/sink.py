@@ -54,11 +54,20 @@ class IdempotentParquetSink:
         path = os.path.join(self.out_dir, "data", f"batch_id={batch_id}")
         # single action on the streaming plan (a second one would re-run the
         # plan and double-fire observe metrics); row count comes from the
-        # committed files
+        # committed parquet FOOTERS — metadata-only, no second scan
         out.write.mode("overwrite").parquet(path)
-        n = batch_df.sparkSession.read.parquet(path).count()
+        n = self._footer_row_count(path)
         with open(self._marker(batch_id), "w") as fh:
             json.dump({"batch_id": batch_id, "rows": n, "committed_at": time.time()}, fh)
+
+    @staticmethod
+    def _footer_row_count(path: str) -> int:
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(str(f)).metadata.num_rows
+            for f in Path(path).glob("*.parquet")
+        )
 
 
 class MetricsListener(StreamingQueryListener):

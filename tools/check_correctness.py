@@ -22,11 +22,20 @@ TABLES = (
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Byte-compatible with the driver's `_canon`: sort columns by name,
+    sort rows by all columns — NO list->tuple coercion.  A query whose
+    output contains array cells fails here with the same TypeError the
+    driver raises (round 1 lesson: the local gate must never be more
+    permissive than the driver's)."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].map(
-                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
+        if df[c].dtype == object and df[c].map(
+            lambda v: isinstance(v, (list, np.ndarray))
+        ).any():
+            raise TypeError(
+                f"column {c!r} contains array cells — the driver's "
+                "canonicalizer cannot sort these; expose a scalar digest "
+                "(tokens_digest_col) instead"
             )
         if "datetime" in str(df[c].dtype):
             df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
