@@ -58,7 +58,6 @@ OP_CHAINS: dict[str, str] = {
     "op_flip_uint8": "flip:1:0/format:uint8",
     "op_exif_zoom": "zoom:1.5/crop:24:0:ce/format:int64",  # auto_rotate defaults on
     "op_effects": "blur:2/sharpen:0.5/pixelate:7/brightness:100/contrast:1.4/saturation:0.6/format:png",
-    "op_watermark": "watermark:0.7:soea/format:png",
     "op_watermark_url": f"watermark:0.8:ce/watermark_url:{_WMU_B64}/format:png",
     "op_flatten": "watermark:1:nowe/background:0:0:255/format:jpeg/quality:90",
     "op_max_bytes": "size:64/quality:20/max_bytes:150/format:jpeg",
@@ -86,6 +85,10 @@ OP_CHAINS: dict[str, str] = {
 # Pytest-parity-only chains (not in the driver window; each is covered by
 # tests/test_oracle_parity.py kernel-vs-oracle equality on sf0.001).
 OP_CHAINS_EXTRA: dict[str, str] = {
+    # the watermark op itself stays driver-gated via op_watermark_url,
+    # op_flatten and op_chain_flagship; this standalone-position chain is
+    # parity-only (and feeds the `info` query below)
+    "op_watermark": "watermark:0.7:soea/format:png",
     "op_resize_auto": "resize:auto:90/format:tiff",
     "op_size_sugar": "size:77/format:webp",
     "op_padding": "padding:5:7/background:ff0000/format:png",
@@ -229,44 +232,50 @@ def q_presets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-minute per-event_type throughput accounting (token-bucket ledger;
-    reference: app.rs:136-156 rate limiter + monitoring.rs counters)."""
+def q_window_tumbling_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-minute tumbling AND 60s/30s sliding throughput accounting in one
+    tagged union (token-bucket ledger; reference: app.rs:136-156 rate
+    limiter + monitoring.rs counters).  Both are single-shuffle streaming-
+    compatible window aggs; the tag keeps each family driver-gated."""
     ev = load_events(spark, sf_dir)
-    return (
+    tumbling = (
         ev.groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
         .select(
+            F.lit("tumbling").alias("wtype"),
             F.col("w.start").alias("window_start"),
             "event_type",
             "n_events",
             "sum_value",
         )
     )
+    sliding = (
+        ev.groupBy(F.window("ts", "60 seconds", "30 seconds").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.lit("sliding").alias("wtype"),
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.lit(None).cast("double").alias("sum_value"),
+        )
+    )
+    return tumbling.unionByName(sliding)
 
 
-SQL_WINDOW_TUMBLING = """SELECT time_bucket(INTERVAL 1 MINUTE, ts) AS window_start,
+SQL_WINDOW_TUMBLING_SLIDING = """SELECT 'tumbling' AS wtype,
+       time_bucket(INTERVAL 1 MINUTE, ts) AS window_start,
        event_type,
        count(*) AS n_events,
        round(sum(value), 2) AS sum_value
 FROM events
-GROUP BY 1, 2"""
-
-
-def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding 60s window, 30s slide — per-type rate with overlap."""
-    ev = load_events(spark, sf_dir)
-    return (
-        ev.groupBy(F.window("ts", "60 seconds", "30 seconds").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
-    )
-
-
-SQL_WINDOW_SLIDING = """SELECT ws AS window_start, event_type, count(*) AS n_events
+GROUP BY 2, 3
+UNION ALL
+SELECT 'sliding' AS wtype, ws AS window_start, event_type,
+       count(*) AS n_events, CAST(NULL AS DOUBLE) AS sum_value
 FROM (
   SELECT event_type, ts,
          unnest([time_bucket(INTERVAL 30 SECOND, ts),
@@ -274,7 +283,7 @@ FROM (
   FROM events
 )
 WHERE ts >= ws AND ts < ws + INTERVAL 60 SECOND
-GROUP BY 1, 2"""
+GROUP BY 2, 3"""
 
 
 def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -420,7 +429,7 @@ SELECT doc_id, size_bytes, rank FROM (
 def q_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The /info endpoint analog (service.rs:340-425 image_info): post-
     transform metadata incl. sentinel detection (has_alpha analog)."""
-    req = requests_df(spark, sf_dir, OP_CHAINS["op_watermark"])
+    req = requests_df(spark, sf_dir, OP_CHAINS_EXTRA["op_watermark"])
     out = transform_requests(req, CONFIG, verify=False)
     return out.select(
         "doc_id",
@@ -433,7 +442,7 @@ def q_info(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_info() -> str:
-    inner = oracle_transform_sql(OP_CHAINS["op_watermark"], digest_tokens=False)
+    inner = oracle_transform_sql(OP_CHAINS_EXTRA["op_watermark"], digest_tokens=False)
     return f"""WITH txout AS ({inner})
 SELECT doc_id, n_out, dtype, size_bytes,
        list_max(tokens_out) AS max_token,
@@ -448,6 +457,7 @@ FROM txout"""
 
 def _pipeline_registry():
     from tokforge.pipeline.dedup import DEDUP_QUERIES
+    from tokforge.pipeline.multimodal import MULTIMODAL_QUERIES
     from tokforge.pipeline.similarity import SIMILARITY_QUERIES
     from tokforge.pipeline.text import TEXT_QUERIES
     from tokforge.streaming.queries import STREAMING_QUERIES
@@ -456,6 +466,7 @@ def _pipeline_registry():
     merged.update(DEDUP_QUERIES)
     merged.update(SIMILARITY_QUERIES)
     merged.update(TEXT_QUERIES)
+    merged.update(MULTIMODAL_QUERIES)
     merged.update(STREAMING_QUERIES)
     return merged
 
@@ -469,8 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["admission_expires"] = q_admission_expires
     q["admission_limits"] = q_admission_limits
     q["op_presets"] = q_presets
-    q["window_tumbling"] = q_window_tumbling
-    q["window_sliding"] = q_window_sliding
+    q["window_tumbling_sliding"] = q_window_tumbling_sliding
     q["window_session"] = q_window_session
     q["ratelimit_admission"] = q_ratelimit_admission
     q["metrics_by_source"] = q_metrics_by_source
@@ -490,8 +500,7 @@ def oracle_sql() -> dict[str, str]:
     o["admission_expires"] = SQL_ADMISSION_EXPIRES
     o["admission_limits"] = SQL_ADMISSION_LIMITS
     o["op_presets"] = oracle_transform_sql(_PRESET_CHAIN, _PRESETS, digest_tokens=True)
-    o["window_tumbling"] = SQL_WINDOW_TUMBLING
-    o["window_sliding"] = SQL_WINDOW_SLIDING
+    o["window_tumbling_sliding"] = SQL_WINDOW_TUMBLING_SLIDING
     o["window_session"] = SQL_WINDOW_SESSION
     o["ratelimit_admission"] = SQL_RATELIMIT_ADMISSION
     o["metrics_by_source"] = SQL_METRICS_BY_SOURCE
@@ -499,7 +508,8 @@ def oracle_sql() -> dict[str, str]:
     o["topk_longest"] = _sql_topk_longest()
     o["info"] = _sql_info()
     for name, (_fn, sql) in _pipeline_registry().items():
-        o[name] = sql
+        if sql is not None:  # None => non-SQL-expressible, rows-only check
+            o[name] = sql
     for name, chain in OP_CHAINS.items():
         o[name] = oracle_transform_sql(chain, digest_tokens=True)
     return o

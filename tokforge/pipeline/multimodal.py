@@ -125,3 +125,53 @@ def frame_sample(df: DataFrame, every_k: int = 10) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_k))
         ).alias("frame_idx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-gated queries
+# ---------------------------------------------------------------------------
+
+_N_MEDIA = 256
+_EVERY_K = 10
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan over the deterministic media table (sf_dir
+    unused — media is synthesized, FIXTURES.md model).  Pure JVM column
+    algebra, fully oracle-checkable."""
+    return frame_sample(synthesize_media(spark, _N_MEDIA), _EVERY_K)
+
+
+SQL_FRAME_SAMPLE = f"""WITH media AS (
+  SELECT range AS media_id,
+         CASE range % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         CAST(1 + (range % 4) * 10 AS INTEGER) AS n_frames
+  FROM range({_N_MEDIA})
+)
+SELECT media_id, CAST(f AS INTEGER) AS frame_idx
+FROM media, unnest(range(0, n_frames, {_EVERY_K})) AS u(f)
+WHERE kind = 'video'"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real decode->resize->pool path through mapInPandas over binary
+    payloads.  The decode stub is seeded-RNG (not SQL-expressible), so this
+    query is registered WITHOUT an oracle — the driver records the weaker
+    rows-only check; pytest (test_multimodal) pins the values.  Output is
+    scalar-only (feature digested) so the canonicalizer can sort it."""
+    feats = extract_features(synthesize_media(spark, _N_MEDIA))
+    digest = F.md5(
+        F.concat_ws(
+            ",", F.transform(F.col("feature"), lambda x: F.round(x, 3)).cast("array<string>")
+        )
+    )
+    return feats.select(
+        "media_id", "kind", digest.alias("feature_md5"), "decoded_bytes", "thumb_width"
+    )
+
+
+MULTIMODAL_QUERIES = {
+    # (spark_fn, oracle_sql_or_None) — None => rows-only driver check
+    "multimodal_frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
+    "multimodal_features": (q_multimodal_features, None),
+}
