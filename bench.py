@@ -81,10 +81,10 @@ def bench_transform(spark, sf_dir, cfg, chain, verify):
 
 
 def bench_windows(spark, sf_dir):
-    from tokforge.engine.queries import q_window_session, q_window_tumbling
+    from tokforge.engine.queries import q_window_session, q_window_tumbling_sliding
 
     t0 = time.time()
-    q_window_tumbling(spark, sf_dir).agg(F.sum("n_events")).collect()
+    q_window_tumbling_sliding(spark, sf_dir).agg(F.sum("n_events")).collect()
     q_window_session(spark, sf_dir).agg(F.sum("n_events")).collect()
     return time.time() - t0
 

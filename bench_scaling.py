@@ -15,7 +15,7 @@ the steady-state number is what a long-running executor delivers.
 Usage:
   python bench_scaling.py              # both pairs, writes BENCH.md
   python bench_scaling.py --run 8 24   # child mode: one level, JSON out
-Env: TOKFORGE_SCALE_PAIRS="1:4:24,8:32:96" (n:4n:replicas per pair).
+Env: TOKFORGE_SCALE_PAIRS="1:4:96,8:32:96" (n:4n:replicas per pair).
 """
 
 from __future__ import annotations
@@ -36,37 +36,47 @@ FLAGSHIP_CHAIN = (
 )
 
 
-def run_one(cpus: int, replicas: int | None = None) -> dict:
+def materialize(replicas: int) -> str:
+    """Parent-side input materialization at full parallelism with a FIXED
+    file layout, so both levels of a pair read byte-identical input (a
+    per-level repartition would hand each level a different file count)."""
+    import tempfile
+
     import pyspark.sql.functions as F
 
     from tokforge.engine.config import EngineConfig
     from tokforge.engine.session import build_spark
-    from tokforge.engine.transform import make_sign_udf, transform_requests
+    from tokforge.engine.transform import make_sign_udf
     from tokforge.sources.requests import requests_df
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    if replicas is None:
-        replicas = int(os.environ.get("TOKFORGE_BENCH_REPLICAS", "24"))
+    spark = build_spark(app_name="tokforge-scaling-mat", master="local[32]",
+                        shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    path = tempfile.mkdtemp(prefix="tokforge-scale-in-") + "/req"
+    req = requests_df(spark, sf_dir, FLAGSHIP_CHAIN, replicas=replicas)
+    sign = make_sign_udf(EngineConfig())
+    req = req.withColumn("sig", sign(F.col("ops"), F.col("doc_id")))
+    # 32 files: more splits than any tested core count, identical for all
+    req.repartition(32).write.mode("overwrite").parquet(path)
+    spark.stop()
+    return path
+
+
+def run_one(cpus: int, in_path: str) -> dict:
+    import pyspark.sql.functions as F
+
+    from tokforge.engine.config import EngineConfig
+    from tokforge.engine.session import build_spark
+    from tokforge.engine.transform_arrow import transform_requests_arrow
+
     spark = build_spark(
         app_name=f"tokforge-scaling-{cpus}", master=f"local[{cpus}]",
         shuffle_partitions=cpus,
     )
     spark.sparkContext.setLogLevel("ERROR")
     cfg = EngineConfig()
-
-    import tempfile
-
-    from tokforge.engine.transform_arrow import transform_requests_arrow
-
-    # materialize the input once (the engine's production input is a
-    # columnar scan); spread across 2x cores so scan parallelism never
-    # caps the core count
-    path = tempfile.mkdtemp(prefix=f"tokforge-scale-{cpus}-") + "/req"
-    req = requests_df(spark, sf_dir, FLAGSHIP_CHAIN, replicas=replicas)
-    sign = make_sign_udf(cfg)
-    req = req.withColumn("sig", sign(F.col("ops"), F.col("doc_id")))
-    req.repartition(cpus * 2).write.mode("overwrite").parquet(path)
-    pq = spark.read.parquet(path)
+    pq = spark.read.parquet(in_path)
 
     def once() -> tuple[float, int]:
         t0 = time.time()
@@ -92,12 +102,11 @@ def run_one(cpus: int, replicas: int | None = None) -> dict:
 
 
 def main() -> None:
-    if len(sys.argv) >= 3 and sys.argv[1] == "--run":
-        reps = int(sys.argv[3]) if len(sys.argv) >= 4 else None
-        print(json.dumps(run_one(int(sys.argv[2]), reps)))
+    if len(sys.argv) >= 4 and sys.argv[1] == "--run":
+        print(json.dumps(run_one(int(sys.argv[2]), sys.argv[3])))
         return
 
-    pairs_spec = os.environ.get("TOKFORGE_SCALE_PAIRS", "1:4:24,8:32:96")
+    pairs_spec = os.environ.get("TOKFORGE_SCALE_PAIRS", "1:4:96,8:32:96")
     pairs = []
     for part in pairs_spec.split(","):
         n, n4, reps = (int(x) for x in part.split(":"))
@@ -106,10 +115,11 @@ def main() -> None:
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     pair_results = []
     for n_small, n_big, reps in pairs:
+        in_path = materialize(reps)
         results = {}
         for cpus in (n_small, n_big):
             out = subprocess.run(
-                [sys.executable, __file__, "--run", str(cpus), str(reps)],
+                [sys.executable, __file__, "--run", str(cpus), in_path],
                 capture_output=True,
                 text=True,
                 check=True,
@@ -175,10 +185,9 @@ Method notes:
   sandbox faults fresh pages at ~20-70 MB/s and timing windows vary up to
   3x, so only warmed steady-state numbers are comparable (the profile a
   long-running executor delivers).
-- within a pair the job is identical: same materialized parquet input,
-  same plan; only `master=local[N]` and shuffle partitions change.
-- input is repartitioned to 2xN files so scan parallelism never caps the
-  core count (at cluster scale Iceberg split planning provides this).
+- within a pair the job reads the SAME materialized parquet files (one
+  32-file layout written once by the parent); only `master=local[N]` and
+  shuffle partitions change.
 
 ## Why the sandbox caps efficiency above ~8 cores (roofline controls)
 
@@ -197,7 +206,7 @@ Method notes:
   measured; the 8->32 pair quantifies the box ceiling.
 
 Regenerate: `python bench_scaling.py` (env: SPARK_GRAFT_SF_DIR,
-TOKFORGE_SCALE_PAIRS="1:4:24,8:32:96").
+TOKFORGE_SCALE_PAIRS="1:4:96,8:32:96").
 """
     )
     print(f"wrote {bench_md}")
