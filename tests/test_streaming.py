@@ -236,6 +236,54 @@ def test_info_cache_ttl_eviction(spark, tmp_path):
     assert statuses.get("MISS", 0) == 10 and statuses.get("HIT", 0) == 0
 
 
+def test_stream_stream_join_cache_invalidation(spark, tmp_path):
+    """Watermarked stream-stream join (north rule 'stateful join'): a purge
+    event within the band flags the request cache_bypass=True; an old purge
+    (outside the band) and no purge leave it False."""
+    from tokforge.engine.transform import cache_key_col
+    from tokforge.streaming.join import invalidation_stream
+
+    in_path, purge_path, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "purge"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    req = _signed_requests(spark, limit=21)
+    req.write.mode("append").parquet(f"{in_path}/drop=0")
+    keyed = req.withColumn("cache_key", cache_key_col())
+    d = F.col("doc_id").cast("long")
+    purges = (
+        keyed.filter(d % 3 < 2)
+        .select(
+            "cache_key",
+            F.when(d % 3 == 0, F.unix_timestamp("ts") - 300)  # in band
+            .otherwise(F.unix_timestamp("ts") - 1200)  # outside 10m band
+            .cast("timestamp")
+            .alias("purge_ts"),
+        )
+    )
+    purges.write.mode("append").parquet(f"{purge_path}/drop=0")
+    q1, _ = invalidation_stream(spark, in_path, purge_path, out_dir, ckpt)
+    _finish(q1)
+    # future sentinels advance both watermarks so unmatched left rows close
+    sent_req = req.limit(1).withColumn(
+        "ts", (F.unix_timestamp("ts") + 864000).cast("timestamp")
+    ).withColumn("doc_id", F.lit("__sentinel__"))
+    sent_req.write.mode("append").parquet(f"{in_path}/drop=1")
+    purges.limit(1).withColumn(
+        "purge_ts", (F.unix_timestamp("purge_ts") + 864000).cast("timestamp")
+    ).write.mode("append").parquet(f"{purge_path}/drop=1")
+    q2, _ = invalidation_stream(spark, in_path, purge_path, out_dir, ckpt)
+    _finish(q2)
+
+    out = read_sink(spark, out_dir).filter(F.col("doc_id") != "__sentinel__")
+    rows = {r["doc_id"]: r["cache_bypass"] for r in out.collect()}
+    assert len(rows) == 21
+    for doc_id, bypass in rows.items():
+        assert bypass == (int(doc_id) % 3 == 0), (doc_id, bypass)
+
+
 def test_tumbling_window_with_late_data_drop(spark, tmp_path):
     in_path, out_dir, ckpt = (
         str(tmp_path / "in"),
