@@ -82,6 +82,26 @@ def req_rows():
     return con, df
 
 
+def test_oracle_rejects_unsupported_chains():
+    """Unsupported plans must fail at registration, never emit wrong SQL
+    (round-1 advice: skip_processing / __src__ max_bytes silently drifted)."""
+    with pytest.raises(ValueError):
+        oracle_transform_sql("skip_processing:int16/format:int16")
+    with pytest.raises(ValueError):
+        oracle_transform_sql("max_bytes:100/crop:10:0")  # src-fallback format
+
+
+def test_watermark_payload_tokens():
+    from tokforge.constants import SENTINEL_BASE
+    from tokforge.operators.kernel import watermark_payload_tokens
+
+    toks = watermark_payload_tokens("AB")
+    assert list(toks) == [SENTINEL_BASE + (65 % 100), SENTINEL_BASE + (66 % 100)]
+    # empty payload falls back to the default cycling pattern
+    fallback = watermark_payload_tokens("")
+    assert len(fallback) == 100 and fallback[0] == SENTINEL_BASE
+
+
 @pytest.mark.parametrize("chain", CHAINS)
 def test_oracle_matches_kernel(req_rows, chain):
     con, df = req_rows
