@@ -58,6 +58,15 @@ _BASE_CHAINS = [
     "crop:50:0:ce",  # default-format fallback to src dtype
     "expires:1704070800/crop:10:0/format:int32",
     "format_quality:int16:40:uint8:90",  # __src__ per-row format_quality
+    # resizing algorithms (reference doc/5.1): linear/cubic interpolated
+    # resamples, lanczos aliases, up- and down-scale paths
+    "resize:fit:200:0:1/resizing_algorithm:linear/format:png",
+    "resize:fill:0:60:1/ra:linear/format:png",
+    "resize:fit:200:0:1/ra:cubic/format:png",
+    "zoom:1.7/ra:cubic/format:int32",
+    "zoom:0.4/ra:linear/format:png",
+    "min-width:150/ra:lanczos3/format:int32",
+    "resize:fit:90:0:1/ra:lanczos2/quality:60/format:jpeg",
 ]
 
 # every driver-gated chain and every pytest-only extra chain is parity

@@ -54,9 +54,44 @@ def _rot(t: str, k: int) -> str:
     )
 
 
-def _resample(t: str, target: str) -> str:
-    """out[i] = t[(i*n)//target + 1] (kernel resample_nearest)."""
-    return f"list_transform(range({target}), i -> {t}[CAST((i * len({t})) // ({target}) AS BIGINT) + 1])"
+def _resample(t: str, target: str, algorithm: Optional[str] = None) -> str:
+    """Algorithm-aware resample (kernel.resample):
+    - nearest: out[i] = t[(i*n)//target + 1]
+    - linear:  floor(t[lo] + (t[hi]-t[lo])*frac + 0.5)
+    - cubic/lanczos2/lanczos3: Catmull-Rom over 4 clamped neighbours,
+      floor(.+0.5), clamped to the vocab.
+    Expression text mirrors the numpy evaluation order exactly (IEEE
+    doubles are deterministic when the op order matches)."""
+    algo = (algorithm or "nearest").lower()
+    n = f"len({t})"
+    if algo == "nearest":
+        return f"list_transform(range({target}), i -> {t}[CAST((i * {n}) // ({target}) AS BIGINT) + 1])"
+    lo = f"((i * {n}) // ({target}))"
+    frac = f"(CAST((i * {n}) % ({target}) AS DOUBLE) / ({target}))"
+    if algo == "linear":
+        t_lo = f"CAST({t}[{lo} + 1] AS DOUBLE)"
+        t_hi = f"CAST({t}[least({lo} + 2, {n})] AS DOUBLE)"
+        val = f"{t_lo} + ({t_hi} - {t_lo}) * {frac}"
+        return (
+            f"list_transform(range({target}), i -> "
+            f"CAST(floor({val} + 0.5) AS BIGINT))"
+        )
+    if algo in ("cubic", "lanczos2", "lanczos3"):
+        f_ = frac
+        w0 = f"(0.5 * (-{f_} * {f_} * {f_} + 2.0 * {f_} * {f_} - {f_}))"
+        w1 = f"(0.5 * (3.0 * {f_} * {f_} * {f_} - 5.0 * {f_} * {f_} + 2.0))"
+        w2 = f"(0.5 * (-3.0 * {f_} * {f_} * {f_} + 4.0 * {f_} * {f_} + {f_}))"
+        w3 = f"(0.5 * ({f_} * {f_} * {f_} - {f_} * {f_}))"
+        p0 = f"CAST({t}[greatest({lo} - 1, 0) + 1] AS DOUBLE)"
+        p1 = f"CAST({t}[{lo} + 1] AS DOUBLE)"
+        p2 = f"CAST({t}[least({lo} + 1, {n} - 1) + 1] AS DOUBLE)"
+        p3 = f"CAST({t}[least({lo} + 2, {n} - 1) + 1] AS DOUBLE)"
+        val = f"{w0} * {p0} + {w1} * {p1} + {w2} * {p2} + {w3} * {p3}"
+        return (
+            f"list_transform(range({target}), i -> "
+            f"{_clamp(f'CAST(floor({val} + 0.5) AS BIGINT)')})"
+        )
+    raise ValueError(f"Invalid resizing algorithm: {algo}")
 
 
 def _rep(value: str, count: str) -> str:
@@ -233,15 +268,16 @@ FROM {steps.current}"""
         rtype = plan.resize.resizing_type or "fit"
         g = plan.gravity
 
+        ra = plan.resizing_algorithm
         fit_expr = (
             f"CASE WHEN {target} < len(t) THEN list_slice(t, 1, {target}) "
-            f"WHEN {target} > len(t) THEN {_resample('t', str(target))} ELSE t END"
+            f"WHEN {target} > len(t) THEN {_resample('t', str(target), ra)} ELSE t END"
         )
         fill_off = _gravity_off(g if g else "ce", f"len(t) - {target}")
         fill_expr = (
             f"CASE WHEN {target} <= len(t) THEN "
             f"list_slice(t, {fill_off} + 1, {fill_off} + {target}) "
-            f"ELSE {_resample('t', str(target))} END"
+            f"ELSE {_resample('t', str(target), ra)} END"
         )
         force_expr = (
             f"CASE WHEN len(t) = 0 THEN t ELSE "
@@ -276,7 +312,8 @@ FROM {steps.current}"""
         )
         steps.add_aux([("mtgt", tgt)])
         steps.replace_t(
-            f"CASE WHEN mtgt > len(t) THEN {_resample('t', 'mtgt')} ELSE t END"
+            f"CASE WHEN mtgt > len(t) THEN "
+            f"{_resample('t', 'mtgt', plan.resizing_algorithm)} ELSE t END"
         )
 
     # Zoom (kernel op_zoom).
@@ -286,7 +323,7 @@ FROM {steps.current}"""
         steps.replace_t(
             f"CASE WHEN ztgt = len(t) OR len(t) = 0 THEN t "
             f"WHEN ztgt <= 0 THEN list_slice(t, 1, 0) "
-            f"ELSE {_resample('t', 'ztgt')} END"
+            f"ELSE {_resample('t', 'ztgt', plan.resizing_algorithm)} END"
         )
 
     from tokforge.operators.kernel import default_bg_token

@@ -56,7 +56,7 @@ OP_CHAINS: dict[str, str] = {
     "op_extend": "resize:fit:300:0:1:1/extend:1:nowe/background:10:20:30/format:png",
     "op_rotate_gif": "auto_rotate:false/rotate:270/format:gif",
     "op_flip_uint8": "flip:1:0/format:uint8",
-    "op_exif_zoom": "zoom:1.5/crop:24:0:ce/format:int64",  # auto_rotate defaults on
+    "op_exif_zoom": "zoom:1.5/ra:cubic/crop:24:0:ce/format:int64",  # auto_rotate on
     "op_effects": "blur:2/sharpen:0.5/pixelate:7/brightness:100/contrast:1.4/saturation:0.6/format:png",
     "op_watermark_url": f"watermark:0.8:ce/watermark_url:{_WMU_B64}/format:png",
     "op_flatten": "watermark:1:nowe/background:0:0:255/format:jpeg/quality:90",
@@ -70,7 +70,7 @@ OP_CHAINS: dict[str, str] = {
     ),
     # edge/override semantics (options.rs merge rules, zero-dim derivation,
     # gravity corners, lossless-quality boundary) — folded composites
-    "op_edge_resize": "resize:fill:0:60/format:png",
+    "op_edge_resize": "resize:fill:0:60:1/resizing_algorithm:linear/format:png",
     "op_edge_geometry": (
         "crop:0:0/resize:fit:280:0:0:1/extend:1:soea/background:abcdef/"
         "flip:0:1/rotate:180/format:png"

@@ -78,6 +78,60 @@ def resample_nearest(t: np.ndarray, target: int) -> np.ndarray:
     return t[idx]
 
 
+def resample_weights(n: int, target: int) -> tuple[np.ndarray, np.ndarray]:
+    """(lo index, fractional offset) per output position: pos = i*n/target,
+    lo = (i*n)//target, frac = (i*n mod target)/target.  Shared by the
+    linear/cubic paths and by the rect kernel (weights depend only on
+    (n, target), never on values)."""
+    num = np.arange(target, dtype=np.int64) * n
+    lo = num // target
+    frac = (num - lo * target).astype(np.float64) / float(target)
+    return lo, frac
+
+
+def resample(t: np.ndarray, target: int, algorithm: Optional[str]) -> np.ndarray:
+    """Resample to ``target`` with the chain's resizing algorithm
+    (reference: doc/5.1_resizing_algorithms.md; options.rs `ra` arg).
+
+    - nearest (default): index gather, out[i] = t[(i*n)//target]
+    - linear: floor(t[lo] + (t[hi]-t[lo])*frac + 0.5), hi = min(lo+1, n-1)
+    - cubic / lanczos2 / lanczos3: Catmull-Rom over 4 clamped neighbours,
+      floor(.+0.5), clamped to the vocab (1-D tokens have no separable 2-D
+      lanczos; both lanczos orders alias to cubic — documented divergence)
+
+    All arithmetic is IEEE-double with left-associated accumulation so the
+    DuckDB oracle reproduces it bit-for-bit.
+    """
+    algo = (algorithm or "nearest").lower()
+    if algo == "nearest":
+        return resample_nearest(t, target)
+    n = len(t)
+    if target == n:
+        return t
+    if target <= 0 or n == 0:
+        return t[:0]
+    lo, frac = resample_weights(n, target)
+    td = t.astype(np.float64)
+    if algo == "linear":
+        hi = np.minimum(lo + 1, n - 1)
+        val = td[lo] + (td[hi] - td[lo]) * frac
+        return np.floor(val + 0.5).astype(t.dtype)
+    if algo in ("cubic", "lanczos2", "lanczos3"):
+        f = frac
+        w0 = 0.5 * (-f * f * f + 2.0 * f * f - f)
+        w1 = 0.5 * (3.0 * f * f * f - 5.0 * f * f + 2.0)
+        w2 = 0.5 * (-3.0 * f * f * f + 4.0 * f * f + f)
+        w3 = 0.5 * (f * f * f - f * f)
+        p0 = np.clip(lo - 1, 0, n - 1)
+        p1 = lo
+        p2 = np.minimum(lo + 1, n - 1)
+        p3 = np.minimum(lo + 2, n - 1)
+        val = w0 * td[p0] + w1 * td[p1] + w2 * td[p2] + w3 * td[p3]
+        out = np.floor(val + 0.5).astype(np.int64)
+        return np.clip(out, 0, VOCAB - 1).astype(t.dtype)
+    raise TransformError(f"Invalid resizing algorithm: {algo}")
+
+
 # ---------------------------------------------------------------------------
 # Geometry ops (SURVEY.md §2.1; reference: transform.rs)
 # ---------------------------------------------------------------------------
@@ -103,6 +157,7 @@ def op_resize(
     target: int,
     gravity: Optional[str],
     enlarge: bool,
+    algorithm: Optional[str] = None,
 ) -> np.ndarray:
     """fit/fill/force/auto over one sequence (reference: transform.rs:200-340).
 
@@ -122,7 +177,7 @@ def op_resize(
         if target < n:
             return t[:target]
         if target > n:
-            return resample_nearest(t, target)
+            return resample(t, target, algorithm)
         return t
 
     if resize_type == "fill":
@@ -130,7 +185,7 @@ def op_resize(
             extra = n - target
             off = gravity_offset(gravity if gravity else "ce", extra)
             return t[off : off + target]
-        return resample_nearest(t, target)
+        return resample(t, target, algorithm)
 
     if resize_type == "force":
         if target == n:
@@ -228,7 +283,12 @@ def op_exif_orientation(t: np.ndarray, orientation: int) -> np.ndarray:
     return t
 
 
-def op_min_length(t: np.ndarray, min_width: Optional[int], min_height: Optional[int]) -> np.ndarray:
+def op_min_length(
+    t: np.ndarray,
+    min_width: Optional[int],
+    min_height: Optional[int],
+    algorithm: Optional[str] = None,
+) -> np.ndarray:
     """Upscale by max(scale_w, scale_h) when below minimums
     (reference: transform.rs:546-581)."""
     n = len(t)
@@ -241,15 +301,15 @@ def op_min_length(t: np.ndarray, min_width: Optional[int], min_height: Optional[
         min_height if (min_height and n < min_height) else 0,
     )
     if target > n:
-        return resample_nearest(t, target)
+        return resample(t, target, algorithm)
     return t
 
 
-def op_zoom(t: np.ndarray, zoom: float) -> np.ndarray:
+def op_zoom(t: np.ndarray, zoom: float, algorithm: Optional[str] = None) -> np.ndarray:
     """Resample to round(n * zoom) (reference: transform.rs:584-589)."""
     n = len(t)
     target = math.floor(n * zoom + 0.5)
-    return resample_nearest(t, max(target, 0))
+    return resample(t, max(target, 0), algorithm)
 
 
 # ---------------------------------------------------------------------------
@@ -558,16 +618,21 @@ def apply_plan(
             pass  # gate: do not enlarge
         else:
             t = op_resize(
-                t, plan.resize.resizing_type or "fit", target, plan.gravity, plan.enlarge
+                t,
+                plan.resize.resizing_type or "fit",
+                target,
+                plan.gravity,
+                plan.enlarge,
+                plan.resizing_algorithm,
             )
 
     # Min dims (mod.rs:133-146).
     if plan.min_width is not None or plan.min_height is not None:
-        t = op_min_length(t, plan.min_width, plan.min_height)
+        t = op_min_length(t, plan.min_width, plan.min_height, plan.resizing_algorithm)
 
     # Zoom (mod.rs:148-152).
     if plan.zoom is not None:
-        t = op_zoom(t, plan.zoom)
+        t = op_zoom(t, plan.zoom, plan.resizing_algorithm)
 
     bg_token = default_bg_token(plan.background)
 

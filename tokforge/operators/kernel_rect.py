@@ -55,6 +55,37 @@ def _resample_idx(n: int, target: int) -> np.ndarray:
     return (np.arange(target, dtype=np.int64) * n) // target
 
 
+def _resample_rect(mat: np.ndarray, target: int, algorithm: str | None) -> np.ndarray:
+    """Algorithm-aware resample along axis 1 — the vectorized mirror of
+    kernel.resample (identical per-element IEEE expression order)."""
+    from tokforge.operators.kernel import resample_weights
+
+    algo = (algorithm or "nearest").lower()
+    n = mat.shape[1]
+    if algo == "nearest":
+        return mat[:, _resample_idx(n, target)]
+    lo, frac = resample_weights(n, target)
+    td = mat.astype(np.float64)
+    if algo == "linear":
+        hi = np.minimum(lo + 1, n - 1)
+        val = td[:, lo] + (td[:, hi] - td[:, lo]) * frac
+        return np.floor(val + 0.5).astype(mat.dtype)
+    if algo in ("cubic", "lanczos2", "lanczos3"):
+        f = frac
+        w0 = 0.5 * (-f * f * f + 2.0 * f * f - f)
+        w1 = 0.5 * (3.0 * f * f * f - 5.0 * f * f + 2.0)
+        w2 = 0.5 * (-3.0 * f * f * f + 4.0 * f * f + f)
+        w3 = 0.5 * (f * f * f - f * f)
+        p0 = np.clip(lo - 1, 0, n - 1)
+        p1 = lo
+        p2 = np.minimum(lo + 1, n - 1)
+        p3 = np.minimum(lo + 2, n - 1)
+        val = w0 * td[:, p0] + w1 * td[:, p1] + w2 * td[:, p2] + w3 * td[:, p3]
+        out = np.floor(val + 0.5).astype(np.int64)
+        return np.clip(out, 0, VOCAB - 1).astype(mat.dtype)
+    raise TransformError(f"Invalid resizing algorithm: {algo}")
+
+
 def _rot_cols(mat: np.ndarray, degrees: int) -> np.ndarray:
     n = mat.shape[1]
     if degrees % 360 == 0 or n == 0:
@@ -208,13 +239,13 @@ def apply_plan_rect(
                 if target < n:
                     t = t[:, :target]
                 elif target > n and n > 0:
-                    t = t[:, _resample_idx(n, target)]
+                    t = _resample_rect(t, target, plan.resizing_algorithm)
             elif rtype == "fill":
                 if target <= n:
                     off = gravity_offset(plan.gravity if plan.gravity else "ce", n - target)
                     t = t[:, off : off + target]
                 elif n > 0:
-                    t = t[:, _resample_idx(n, target)]
+                    t = _resample_rect(t, target, plan.resizing_algorithm)
             elif rtype == "force":
                 if target != n and n > 0:
                     t = t[:, np.arange(target, dtype=np.int64) % n]
@@ -229,13 +260,17 @@ def apply_plan_rect(
                 plan.min_height if (plan.min_height and n < plan.min_height) else 0,
             )
             if tgt > n:
-                t = t[:, _resample_idx(n, tgt)]
+                t = _resample_rect(t, tgt, plan.resizing_algorithm)
 
     if plan.zoom is not None:
         n = t.shape[1]
         target = max(math.floor(n * plan.zoom + 0.5), 0)
         if n > 0 and target != n:
-            t = t[:, _resample_idx(n, target)] if target > 0 else t[:, :0]
+            t = (
+                _resample_rect(t, target, plan.resizing_algorithm)
+                if target > 0
+                else t[:, :0]
+            )
 
     bg_token = default_bg_token(plan.background)
 
