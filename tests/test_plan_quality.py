@@ -112,6 +112,20 @@ def test_near_dup_bucket_space_scales(spark):
     assert n_buckets > 32
 
 
+def test_candidate_joins_are_equi_joins(spark):
+    """The blocked similarity/dedup joins must plan as hash/sort-merge
+    equi-joins on the blocking key — a BroadcastNestedLoopJoin or
+    CartesianProduct means the blocking predicate fell out of the join
+    condition and the shape is all-pairs again."""
+    from tokforge.pipeline.dedup import q_ngram_jaccard
+    from tokforge.pipeline.similarity import q_embed_near_dup, q_ivf_search
+
+    for q in (q_embed_near_dup, q_ngram_jaccard, q_ivf_search):
+        plan = plan_of(q(spark, SF_SMALL))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+
+
 def test_whole_stage_codegen_on_relational_path(spark):
     """The relational side (filters/aggregations) stays in codegen spans;
     the map-only Arrow path itself is a single Python node with nothing
