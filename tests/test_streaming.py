@@ -405,6 +405,31 @@ def test_stream_rate_limit_rejects_burst(spark, tmp_path):
     assert 10 <= n_admitted <= 13, n_admitted
 
 
+def test_backpressure_max_files_per_trigger(spark, tmp_path):
+    """maxFilesPerTrigger=1 is the admission-semaphore analog
+    (service.rs:284-289 worker permits): 3 input drops must commit as >= 3
+    distinct micro-batches instead of one giant batch."""
+    import os
+
+    in_path, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    req = _signed_requests(spark, limit=10)
+    _write_drops(spark, req, in_path, n=3)
+    query, sink = transform_stream(
+        spark, in_path, out_dir, ckpt, CFG, verify=False,
+        available_now=True, max_files_per_trigger=1,
+    )
+    _finish(query)
+    batch_dirs = [
+        d for d in os.listdir(os.path.join(out_dir, "data")) if d.startswith("batch_id=")
+    ]
+    assert len(batch_dirs) >= 3, batch_dirs
+    assert read_sink(spark, out_dir).count() == 30
+
+
 def test_tumbling_window_with_late_data_drop(spark, tmp_path):
     in_path, out_dir, ckpt = (
         str(tmp_path / "in"),

@@ -33,7 +33,13 @@ _GRAV_END = ("ea", "noea", "soea")
 
 
 def _dbl(x: float) -> str:
-    return f"CAST({x!r} AS DOUBLE)"
+    """Exact IEEE-double literal.  The cast goes through a STRING: DuckDB
+    types a bare numeric literal as DECIMAL first, and DECIMAL->DOUBLE can
+    land one ULP away from the Python/numpy double of the same digits
+    (found by hypothesis: 1.0-0.07 -> 0.9299999999999999 parsed as DECIMAL
+    becomes 0.93's double, flipping floor(x+0.5) boundaries).  A quoted
+    string parses directly as a double, bit-identical to Python's."""
+    return f"CAST('{x!r}' AS DOUBLE)"
 
 
 def _clamp(expr: str, lo: int = 0, hi: int = VOCAB - 1) -> str:
