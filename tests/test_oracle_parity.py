@@ -67,6 +67,9 @@ _BASE_CHAINS = [
     "zoom:0.4/ra:linear/format:png",
     "min-width:150/ra:lanczos3/format:int32",
     "resize:fit:90:0:1/ra:lanczos2/quality:60/format:jpeg",
+    # hypothesis-found regressions
+    "quality:1/format:jpeg/max_bytes:8",  # single-candidate walk-down
+    "quality:13/format:gif/max_bytes:40",  # lossless walk-down w/ dtype rule
 ]
 
 # every driver-gated chain and every pytest-only extra chain is parity

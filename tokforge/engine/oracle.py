@@ -549,12 +549,14 @@ FROM {steps.current}"""
             steps.add_aux(
                 [(f"mbs{i}", _size_bytes_expr(f"mbt{i}", elem_bytes)) for i in range(len(cands))]
             )
-            fit_arms = " ".join(
-                f"WHEN mbs{i} <= {mb} THEN {i}" for i in range(len(cands) - 1)
-            )
-            steps.add_aux(
-                [("mbpick", f"CASE {fit_arms} ELSE {len(cands) - 1} END")]
-            )
+            if len(cands) == 1:
+                pick_expr = "0"  # q started at 1: single candidate, no walk
+            else:
+                fit_arms = " ".join(
+                    f"WHEN mbs{i} <= {mb} THEN {i}" for i in range(len(cands) - 1)
+                )
+                pick_expr = f"CASE {fit_arms} ELSE {len(cands) - 1} END"
+            steps.add_aux([("mbpick", pick_expr)])
             t_arms = " ".join(f"WHEN {i} THEN mbt{i}" for i in range(len(cands)))
             steps.replace_t(f"CASE mbpick {t_arms} ELSE mbt0 END")
             q_arms = " ".join(f"WHEN {i} THEN {cands[i]}" for i in range(len(cands)))
