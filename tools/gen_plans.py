@@ -1,0 +1,65 @@
+import sys
+sys.path.insert(0, '/root/repo')
+from tokforge.engine.session import build_spark
+from tokforge.engine.config import EngineConfig
+from tokforge.engine.transform_arrow import transform_requests_arrow
+from tokforge.sources.requests import requests_df
+import pyspark.sql.functions as F
+
+spark = build_spark(master="local[8]"); spark.sparkContext.setLogLevel("ERROR")
+SF = "/root/testdata/sf0.001"
+
+def fmt(df):
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+sections = []
+
+req = requests_df(spark, SF, "resize:fit:64/format:int16")
+out = transform_requests_arrow(req, EngineConfig(), verify=False).select("doc_id", "n_out", "size_bytes")
+sections.append(("Flagship transform path (scan -> one mapInArrow -> project)",
+"""The hot path.  What to check: ONE `MapInArrow` node, no `Exchange`
+anywhere, `ReadSchema` restricted to doc_id+source (request synthesis is
+column-pruned), whole-stage codegen around the column algebra.""", fmt(out)))
+
+from tokforge.pipeline.similarity import q_knn_bruteforce, q_ivf_search, q_embed_near_dup
+sections.append(("knn_bruteforce (broadcast queries, two-phase top-k)",
+"""What to check: the scoring join IS a `BroadcastNestedLoopJoin Cross`
+by design — brute-force knn scores every (corpus row x query) pair, with
+the tiny query set on the broadcast side, so the corpus never shuffles.
+The rank is TWO `Window` stages — the first partitioned by
+(qid, SPARK_PARTITION_ID()) = local top-k, the second over the bounded
+survivors — plus Spark's `WindowGroupLimit` pushdown before each
+exchange.  No single-reducer rank over the corpus.""", fmt(q_knn_bruteforce(spark, SF))))
+
+sections.append(("ann_ivf_search (cell-pruned probe)",
+"""What to check: cell assignment is inline column algebra over literal
+centroid arrays (no shuffle, no per-vector window), probes broadcast,
+the only exchange keys on `cell`, then the same two-phase top-k.""", fmt(q_ivf_search(spark, SF))))
+
+sections.append(("embed_near_dup (multi-probe sign-LSH blocking)",
+"""What to check: the join is a hash EQUI-join on bucket == probe (a
+nested-loop/cartesian here would mean the blocking key fell out), the
+B side explodes to bits+1 probe rows, distinct before the threshold
+filter.""", fmt(q_embed_near_dup(spark, SF))))
+
+from tokforge.pipeline.dedup import q_ngram_jaccard
+sections.append(("dedup_ngram_jaccard (verify-after-LSH)",
+"""What to check: the Jaccard stage joins the LSH candidate pairs to the
+per-doc token sets by doc id — two hash joins, cost O(candidates); the
+signature exchange under the LSH self-join is REUSED (ReusedExchange),
+never recomputed.""", fmt(q_ngram_jaccard(spark, SF))))
+
+with open('/root/repo/docs/PLANS.md', 'w') as f:
+    f.write("""# Physical plans of the headline queries (evidence, not intention)
+
+Captured from `.explain("formatted")` on sf0.001 (plan SHAPE is
+data-size independent; AQE may re-plan exchanges at runtime).  Each
+section says what property the plan must exhibit — the same properties
+tests/test_plan_quality.py asserts on every run.  Regenerate with
+`python tools/gen_plans.py`.
+
+""")
+    for title, why, plan in sections:
+        f.write(f"## {title}\n\n{why}\n\n```\n{plan.strip()}\n```\n\n")
+spark.stop()
+print("wrote docs/PLANS.md")
