@@ -430,6 +430,67 @@ def test_backpressure_max_files_per_trigger(spark, tmp_path):
     assert read_sink(spark, out_dir).count() == 30
 
 
+def test_rate_limit_state_survives_checkpoint_resume(spark, tmp_path):
+    """The bucket persists across query restarts: drop 1 drains capacity;
+    a SECOND invocation with the same checkpoint sees the drained bucket
+    (rejections continue), not a fresh one."""
+    import datetime
+
+    from tokforge.streaming.ratelimit import with_rate_limit
+    from tokforge.streaming.sink import IdempotentParquetSink
+    from tokforge.streaming.source import REQUEST_SCHEMA, read_request_stream
+
+    in_path, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    base = _signed_requests(spark, limit=1).collect()[0]
+
+    def mk(ids, t0_ms):
+        return spark.createDataFrame(
+            [
+                dict(
+                    source="hot",
+                    doc_id=str(i),
+                    n_tok=base["n_tok"],
+                    tokens=base["tokens"],
+                    ts=base["ts"] + datetime.timedelta(milliseconds=t0_ms + 100 * i),
+                    ops=base["ops"],
+                    sig=base["sig"],
+                    orientation=base["orientation"],
+                    src_dtype=base["src_dtype"],
+                )
+                for i in ids
+            ],
+            REQUEST_SCHEMA,
+        )
+
+    def run():
+        stream = read_request_stream(spark, in_path)
+        limited = with_rate_limit(stream, capacity=4.0, refill_per_sec=0.1)
+        sink = IdempotentParquetSink(out_dir)
+        q = (
+            limited.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _finish(q)
+
+    mk(range(4), 0).write.mode("append").parquet(f"{in_path}/drop=0")
+    run()  # drains all 4 tokens
+    mk(range(4, 8), 1000).write.mode("append").parquet(f"{in_path}/drop=1")
+    run()  # resumed state: ~0 tokens, negligible refill -> all rejected
+    out = {
+        int(r["doc_id"]): r["admitted"]
+        for r in read_sink(spark, out_dir).collect()
+    }
+    assert all(out[i] for i in range(4))
+    assert not any(out[i] for i in range(4, 8)), out
+
+
 def test_tumbling_window_with_late_data_drop(spark, tmp_path):
     in_path, out_dir, ckpt = (
         str(tmp_path / "in"),
