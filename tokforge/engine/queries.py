@@ -406,14 +406,17 @@ _TOPK = 20
 
 def q_topk_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k outputs by encoded size (limit/top-k surface; deterministic
-    tie-break on doc_id)."""
+    tie-break on doc_id).  Two-phase: local top-k inside each partition,
+    then the final rank over <= k * n_partitions survivors — a bare global
+    window would funnel the whole transform output through one reducer."""
+    from tokforge.pipeline.similarity import topk_per_key
+
     req = requests_df(spark, sf_dir, OP_CHAINS["op_chain_flagship"])
     out = transform_requests(req, CONFIG, verify=False)
-    w = Window.orderBy(F.desc("size_bytes"), F.col("doc_id"))
-    return (
-        out.select("doc_id", "size_bytes", F.row_number().over(w).alias("rank"))
-        .filter(F.col("rank") <= _TOPK)
-    )
+    scored = out.select("doc_id", "size_bytes", F.lit(1).alias("_g"))
+    return topk_per_key(
+        scored, "_g", [F.desc("size_bytes"), F.col("doc_id")], _TOPK
+    ).select("doc_id", "size_bytes", "rank")
 
 
 def _sql_topk_longest() -> str:
