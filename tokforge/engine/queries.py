@@ -254,13 +254,16 @@ def q_window_tumbling_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sliding = (
         ev.groupBy(F.window("ts", "60 seconds", "30 seconds").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
         .select(
             F.lit("sliding").alias("wtype"),
             F.col("w.start").alias("window_start"),
             "event_type",
             "n_events",
-            F.lit(None).cast("double").alias("sum_value"),
+            "sum_value",
         )
     )
     return tumbling.unionByName(sliding)
@@ -275,9 +278,9 @@ FROM events
 GROUP BY 2, 3
 UNION ALL
 SELECT 'sliding' AS wtype, ws AS window_start, event_type,
-       count(*) AS n_events, CAST(NULL AS DOUBLE) AS sum_value
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
 FROM (
-  SELECT event_type, ts,
+  SELECT event_type, ts, value,
          unnest([time_bucket(INTERVAL 30 SECOND, ts),
                  time_bucket(INTERVAL 30 SECOND, ts) - INTERVAL 30 SECOND]) AS ws
   FROM events
