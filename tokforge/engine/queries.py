@@ -246,7 +246,7 @@ def q_window_tumbling_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.lit("tumbling").alias("wtype"),
-            F.col("w.start").alias("window_start"),
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
             "event_type",
             "n_events",
             "sum_value",
@@ -260,24 +260,26 @@ def q_window_tumbling_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.lit("sliding").alias("wtype"),
-            F.col("w.start").alias("window_start"),
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
             "event_type",
             "n_events",
             "sum_value",
         )
     )
+    # epoch seconds, not raw timestamps: a timestamp cell's tz/precision
+    # treatment inside an external canonicalizer is an avoidable risk
     return tumbling.unionByName(sliding)
 
 
 SQL_WINDOW_TUMBLING_SLIDING = """SELECT 'tumbling' AS wtype,
-       time_bucket(INTERVAL 1 MINUTE, ts) AS window_start,
+       CAST(epoch(time_bucket(INTERVAL 1 MINUTE, ts)) AS BIGINT) AS window_start_s,
        event_type,
        count(*) AS n_events,
        round(sum(value), 2) AS sum_value
 FROM events
 GROUP BY 2, 3
 UNION ALL
-SELECT 'sliding' AS wtype, ws AS window_start, event_type,
+SELECT 'sliding' AS wtype, CAST(epoch(ws) AS BIGINT) AS window_start_s, event_type,
        count(*) AS n_events, round(sum(value), 2) AS sum_value
 FROM (
   SELECT event_type, ts, value,
@@ -298,8 +300,8 @@ def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
         .select(
             "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
+            F.unix_timestamp(F.col("w.start")).alias("session_start_s"),
+            F.unix_timestamp(F.col("w.end")).alias("session_end_s"),
             "n_events",
         )
     )
@@ -319,8 +321,8 @@ SQL_WINDOW_SESSION = """WITH flagged AS (
   FROM flagged
 )
 SELECT user_id,
-       min(ts) AS session_start,
-       max(ts) + INTERVAL 5 MINUTE AS session_end,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+       CAST(floor(epoch(max(ts) + INTERVAL 5 MINUTE)) AS BIGINT) AS session_end_s,
        count(*) AS n_events
 FROM sessions
 GROUP BY user_id, session_id"""
