@@ -1,0 +1,96 @@
+"""Fast pre-round sanity (no kernel execution, ~1 min): everything that
+must hold before the external harness runs, checked in one command.
+
+  python tools/preflight.py
+
+Checks:
+1. registry shape — exactly 50 queries() entries; every entry has an
+   oracle_sql() or is a documented rows-only exception
+2. every oracle parses AND returns >= 1 row on sf0.01 DuckDB views
+3. every gated BATCH query's Spark schema is scalar-only (no array /
+   timestamp / struct / map cells — the harness canonicalizer cannot
+   sort those); streaming queries are skipped (execute on build, known
+   scalar schemas)
+Full value-equality lives in tools/check_correctness.py (~8 min).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+EXPECTED_QUERIES = 50
+ROWS_ONLY_OK = {"multimodal_features"}  # seeded-RNG stub, not SQL-expressible
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    failures: list[str] = []
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+
+    if len(qs) != EXPECTED_QUERIES:
+        failures.append(f"queries() has {len(qs)} entries, expected {EXPECTED_QUERIES}")
+    missing = set(qs) - set(oracles) - ROWS_ONLY_OK
+    if missing:
+        failures.append(f"queries without an oracle (and not rows-only): {sorted(missing)}")
+    extra = set(oracles) - set(qs)
+    if extra:
+        failures.append(f"oracles without a query: {sorted(extra)}")
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    for name, sql in oracles.items():
+        try:
+            n = con.execute(f"SELECT count(*) FROM ({sql})").fetchone()[0]
+            if n < 1:
+                failures.append(f"oracle {name}: 0 rows")
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"oracle {name}: {str(exc)[:160]}")
+    print(f"oracles: {len(oracles)} parsed and non-empty"
+          + (f" ({len(failures)} problems)" if failures else ""))
+
+    from pyspark.sql.types import ArrayType, MapType, StructType, TimestampType
+
+    from tokforge.engine.session import build_spark
+
+    spark = build_spark(master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name, fn in qs.items():
+        if name.startswith("stream_"):
+            continue
+        try:
+            df = fn(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"query {name}: build error {str(exc)[:160]}")
+            continue
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType, TimestampType)):
+                failures.append(
+                    f"query {name}: non-scalar output column {f.name} "
+                    f"({f.dataType.simpleString()}) — harness canon will choke"
+                )
+    spark.stop()
+
+    if failures:
+        print("\nPREFLIGHT FAILURES:")
+        for f in failures:
+            print(" -", f)
+        return 1
+    print("preflight OK: 50 queries, all oracles live, all outputs scalar-only")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
