@@ -182,6 +182,67 @@ def test_cache_ttl_eviction(spark, tmp_path):
     assert statuses.get("MISS", 0) == 10 and statuses.get("HIT", 0) == 0
 
 
+class _StubGroupState:
+    """Minimal GroupState stand-in to pin the timeout-arming contract."""
+
+    def __init__(self):
+        self.value = None
+        self.timeout_set_count = 0
+        self.hasTimedOut = False  # noqa: N815 - GroupState API casing
+
+    @property
+    def exists(self):
+        return self.value is not None
+
+    @property
+    def get(self):
+        return self.value
+
+    def update(self, v):
+        self.value = v
+
+    def remove(self):
+        self.value = None
+
+    def setTimeoutDuration(self, ms):  # noqa: N802 - GroupState API casing
+        self.timeout_set_count += 1
+
+
+def test_cache_ttl_rearmed_on_every_invocation(spark):
+    """A HIT must NOT disarm eviction: Spark clears a group's pending
+    timeout whenever the state function runs for a key, so the function
+    must re-arm it on EVERY invocation that leaves state behind (sliding
+    TTL = the LRU's access-refreshes-recency).  Pinned on the function
+    directly — the e2e eviction path is test_cache_ttl_eviction."""
+    import pandas as pd
+
+    from tokforge.streaming.cache_state import make_cache_state_func
+    from tokforge.streaming.info_state import make_info_state_func
+
+    req = _signed_requests(spark, limit=1).toPandas()
+    batch = pd.DataFrame(
+        {
+            "doc_id": req["doc_id"],
+            "ts": req["ts"],
+            "tokens": req["tokens"],
+            "ops": req["ops"],
+            "orientation": req["orientation"],
+            "src_dtype": req["src_dtype"],
+        }
+    )
+    for make in (
+        lambda: make_cache_state_func(CFG, ttl_ms=1000),
+        lambda: make_info_state_func(CFG, ttl_ms=1000),
+    ):
+        fn = make()
+        state = _StubGroupState()
+        out1 = list(fn(("k",), iter([batch]), state))  # MISS -> arm
+        assert state.timeout_set_count == 1, "MISS must arm the TTL"
+        out2 = list(fn(("k",), iter([batch]), state))  # HIT -> must RE-arm
+        assert state.timeout_set_count == 2, "HIT must re-arm the TTL"
+        assert out1 and out2
+
+
 def test_info_cache_second_namespace(spark, tmp_path):
     """The metadata cache is a real SECOND keyed state namespace: keyed by
     doc_id (not cache_key), 1 MISS + 1 HIT per doc across two drops, HITs
@@ -263,7 +324,13 @@ def test_stream_stream_join_cache_invalidation(spark, tmp_path):
             .alias("purge_ts"),
         )
     )
-    purges.write.mode("append").parquet(f"{purge_path}/drop=0")
+    # a SECOND in-band purge for the %3==0 keys: join multiplicity must be
+    # collapsed (one output row per request), not duplicated in the sink
+    dup = keyed.filter(d % 3 == 0).select(
+        "cache_key",
+        (F.unix_timestamp("ts") - 420).cast("timestamp").alias("purge_ts"),
+    )
+    purges.union(dup).write.mode("append").parquet(f"{purge_path}/drop=0")
     q1, _ = invalidation_stream(spark, in_path, purge_path, out_dir, ckpt)
     _finish(q1)
     # future sentinels advance both watermarks so unmatched left rows close
@@ -278,7 +345,9 @@ def test_stream_stream_join_cache_invalidation(spark, tmp_path):
     _finish(q2)
 
     out = read_sink(spark, out_dir).filter(F.col("doc_id") != "__sentinel__")
-    rows = {r["doc_id"]: r["cache_bypass"] for r in out.collect()}
+    collected = out.collect()
+    rows = {r["doc_id"]: r["cache_bypass"] for r in collected}
+    assert len(collected) == 21, "double-purged requests must not duplicate"
     assert len(rows) == 21
     for doc_id, bypass in rows.items():
         assert bypass == (int(doc_id) % 3 == 0), (doc_id, bypass)

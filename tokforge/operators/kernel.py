@@ -89,11 +89,35 @@ def resample_weights(n: int, target: int) -> tuple[np.ndarray, np.ndarray]:
     return lo, frac
 
 
+def catmull_rom_taps(
+    n: int, lo: np.ndarray, frac: np.ndarray
+) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """Catmull-Rom weights + clamped neighbour indices — the SINGLE source
+    of the exact IEEE expression order that kernel, rect kernel, and the
+    SQL oracle must all reproduce (a drifted copy silently breaks parity)."""
+    f = frac
+    weights = [
+        0.5 * (-f * f * f + 2.0 * f * f - f),
+        0.5 * (3.0 * f * f * f - 5.0 * f * f + 2.0),
+        0.5 * (-3.0 * f * f * f + 4.0 * f * f + f),
+        0.5 * (f * f * f - f * f),
+    ]
+    taps = [
+        np.clip(lo - 1, 0, n - 1),
+        lo,
+        np.minimum(lo + 1, n - 1),
+        np.minimum(lo + 2, n - 1),
+    ]
+    return weights, taps
+
+
 def resample(t: np.ndarray, target: int, algorithm: Optional[str]) -> np.ndarray:
     """Resample to ``target`` with the chain's resizing algorithm
     (reference: doc/5.1_resizing_algorithms.md; options.rs `ra` arg).
 
-    - nearest (default): index gather, out[i] = t[(i*n)//target]
+    - nearest (when algorithm is None — bare kernel calls): index gather,
+      out[i] = t[(i*n)//target]; note the PARSED PLAN defaults to lanczos3
+      (options.py Plan, mirroring reference options.rs:567-610)
     - linear: floor(t[lo] + (t[hi]-t[lo])*frac + 0.5), hi = min(lo+1, n-1)
     - cubic / lanczos2 / lanczos3: Catmull-Rom over 4 clamped neighbours,
       floor(.+0.5), clamped to the vocab (1-D tokens have no separable 2-D
@@ -117,15 +141,7 @@ def resample(t: np.ndarray, target: int, algorithm: Optional[str]) -> np.ndarray
         val = td[lo] + (td[hi] - td[lo]) * frac
         return np.floor(val + 0.5).astype(t.dtype)
     if algo in ("cubic", "lanczos2", "lanczos3"):
-        f = frac
-        w0 = 0.5 * (-f * f * f + 2.0 * f * f - f)
-        w1 = 0.5 * (3.0 * f * f * f - 5.0 * f * f + 2.0)
-        w2 = 0.5 * (-3.0 * f * f * f + 4.0 * f * f + f)
-        w3 = 0.5 * (f * f * f - f * f)
-        p0 = np.clip(lo - 1, 0, n - 1)
-        p1 = lo
-        p2 = np.minimum(lo + 1, n - 1)
-        p3 = np.minimum(lo + 2, n - 1)
+        (w0, w1, w2, w3), (p0, p1, p2, p3) = catmull_rom_taps(n, lo, frac)
         val = w0 * td[p0] + w1 * td[p1] + w2 * td[p2] + w3 * td[p3]
         out = np.floor(val + 0.5).astype(np.int64)
         return np.clip(out, 0, VOCAB - 1).astype(t.dtype)
@@ -161,7 +177,7 @@ def op_resize(
 ) -> np.ndarray:
     """fit/fill/force/auto over one sequence (reference: transform.rs:200-340).
 
-    - fit: truncate to target; grow only when enlarging (nearest resample).
+    - fit: truncate to target; grow only when enlarging (resample per ra).
     - fill: gravity-anchored cut of exactly target tokens.
     - force: out[i] = t[i % n] for i < target (truncate or cyclic repeat-pad).
     - auto: fill when n >= target else fit (orientation-match analog).

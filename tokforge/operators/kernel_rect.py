@@ -57,11 +57,18 @@ def _resample_idx(n: int, target: int) -> np.ndarray:
 
 def _resample_rect(mat: np.ndarray, target: int, algorithm: str | None) -> np.ndarray:
     """Algorithm-aware resample along axis 1 — the vectorized mirror of
-    kernel.resample (identical per-element IEEE expression order)."""
-    from tokforge.operators.kernel import resample_weights
+    kernel.resample (weights/taps come from the same shared helpers, so the
+    IEEE expression order cannot drift)."""
+    from tokforge.operators.kernel import catmull_rom_taps, resample_weights
 
-    algo = (algorithm or "nearest").lower()
     n = mat.shape[1]
+    if target == n:
+        return mat
+    if target <= 0 or n == 0:
+        # mirror kernel.resample's degenerate-input rule: empty output,
+        # never an index error
+        return mat[:, :0]
+    algo = (algorithm or "nearest").lower()
     if algo == "nearest":
         return mat[:, _resample_idx(n, target)]
     lo, frac = resample_weights(n, target)
@@ -71,15 +78,7 @@ def _resample_rect(mat: np.ndarray, target: int, algorithm: str | None) -> np.nd
         val = td[:, lo] + (td[:, hi] - td[:, lo]) * frac
         return np.floor(val + 0.5).astype(mat.dtype)
     if algo in ("cubic", "lanczos2", "lanczos3"):
-        f = frac
-        w0 = 0.5 * (-f * f * f + 2.0 * f * f - f)
-        w1 = 0.5 * (3.0 * f * f * f - 5.0 * f * f + 2.0)
-        w2 = 0.5 * (-3.0 * f * f * f + 4.0 * f * f + f)
-        w3 = 0.5 * (f * f * f - f * f)
-        p0 = np.clip(lo - 1, 0, n - 1)
-        p1 = lo
-        p2 = np.minimum(lo + 1, n - 1)
-        p3 = np.minimum(lo + 2, n - 1)
+        (w0, w1, w2, w3), (p0, p1, p2, p3) = catmull_rom_taps(n, lo, frac)
         val = w0 * td[:, p0] + w1 * td[:, p1] + w2 * td[:, p2] + w3 * td[:, p3]
         out = np.floor(val + 0.5).astype(np.int64)
         return np.clip(out, 0, VOCAB - 1).astype(mat.dtype)

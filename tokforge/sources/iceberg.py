@@ -76,7 +76,11 @@ def write_token_table(df: DataFrame, location: str, mode: str = "append") -> Non
         writer = df.writeTo(location)
         if mode == "append":
             writer.append()
-        else:
+        elif mode in ("overwrite", "createOrReplace"):
             writer.createOrReplace()
+        else:
+            # 'ignore'/'error' have no Iceberg writeTo equivalent here;
+            # silently mapping them to createOrReplace would destroy data
+            raise ValueError(f"Unsupported mode for Iceberg write: {mode}")
         return
     df.write.mode(mode).parquet(location)

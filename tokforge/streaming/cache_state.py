@@ -124,12 +124,18 @@ def make_cache_state_func(config: EngineConfig = DEFAULT_CONFIG, ttl_ms: int = 0
             cached_tokens = result.tokens.astype(np.int32)
             cached_dtype = result.dtype
             state.update(([int(x) for x in cached_tokens], cached_dtype, 0))
-            if ttl_ms > 0:
-                state.setTimeoutDuration(ttl_ms)
             statuses[i] = "MISS"
             toks_out[i] = cached_tokens
             n_out[i] = len(cached_tokens)
             dtypes[i] = cached_dtype
+
+        # (Re-)arm the TTL on EVERY invocation that leaves state behind:
+        # Spark clears a group's pending timeout whenever the function runs
+        # for that key, so arming only on MISS would let any HIT disarm
+        # eviction permanently.  Re-arming = sliding TTL, i.e. access
+        # refreshes recency — exactly the reference LRU's behavior.
+        if ttl_ms > 0 and state.exists:
+            state.setTimeoutDuration(ttl_ms)
 
         yield pd.DataFrame(
             {

@@ -111,10 +111,14 @@ def make_info_state_func(config: EngineConfig = DEFAULT_CONFIG, ttl_ms: int = 0)
                 continue
             cached = (int(result.tokens.shape[0]), result.dtype, int(result.size_bytes), 0)
             state.update(cached)
-            if ttl_ms > 0:
-                state.setTimeoutDuration(ttl_ms)
             statuses[i] = "MISS"
             n_out[i], dtypes[i], sizes[i] = cached[0], cached[1], cached[2]
+
+        # re-arm on every invocation (sliding TTL): Spark clears the pending
+        # timeout when the function runs for a key, so a HIT would otherwise
+        # disarm eviction permanently (see cache_state.py)
+        if ttl_ms > 0 and state.exists:
+            state.setTimeoutDuration(ttl_ms)
 
         yield pd.DataFrame(
             {

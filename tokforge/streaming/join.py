@@ -48,9 +48,12 @@ def join_purges(
     band: str = "10 minutes",
     watermark: str = "10 minutes",
 ) -> DataFrame:
-    """Left-outer stream-stream join: each request row gains `purged_at`
-    (the matching purge event's timestamp, null if none) when a purge for
-    its cache_key landed within [ts - band, ts].
+    """Left-outer stream-stream join: one output row PER MATCHING PURGE
+    (standard join multiplicity — a request whose key was purged twice in
+    the band emits twice), plus one null-purge row for unmatched requests
+    after their watermark.  ``invalidation_stream`` collapses the
+    multiplicity to one row per request (max purge_ts); use that unless
+    the per-purge enrichment rows are wanted.
 
     Both watermarks + the banded condition bound the join state: a purge
     row is droppable once the request-side watermark passes purge_ts +
@@ -91,8 +94,15 @@ def invalidation_stream(
         "cache_key", cache_key_col()
     )
     purges = read_purge_stream(spark, purge_path)
-    joined = join_purges(req, purges, band, watermark).select(
-        "doc_id", "cache_key", "ts", "purge_ts", "cache_bypass"
+    matched = join_purges(req, purges, band, watermark)
+    # collapse join multiplicity: multiple in-band purges for one request
+    # must not duplicate it in the exactly-once sink — keep the latest
+    # purge per request (chained stateful ops: join -> agg, watermark
+    # propagated from the request side)
+    joined = (
+        matched.groupBy("doc_id", "cache_key", "ts")
+        .agg(F.max("purge_ts").alias("purge_ts"))
+        .withColumn("cache_bypass", F.col("purge_ts").isNotNull())
     )
     sink = IdempotentParquetSink(out_dir)
     writer = (
