@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tokforge.sources.requests import load_documents
+from tokforge.sources.requests import load_documents, sql_requests_cte
 
 # marker-word counts drive the language heuristic; counts are computed with
 # the replace-length trick so Spark and SQL share exact semantics.
@@ -140,22 +140,44 @@ def _sql_quality_score() -> str:
 FROM documents"""
 
 
+# Polynomial rolling hash (Rabin-Karp): h = fold(tokens, 0, acc*B + t mod M)
+_RH_B = 1000003
+_RH_M = 2147483647
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Normalized content fingerprint (rolling-hash analog): md5 of the
-    lowercased, whitespace-stripped text, truncated to 64 bits."""
+    """Two content fingerprints per document: the normalized md5 (64-bit
+    content identity) and a true POLYNOMIAL ROLLING HASH over the token
+    stream — `h = fold(tokens, 0, (acc*B + t) mod M)` — sequential fold
+    entirely JVM-side via `aggregate` (at scale: one narrow pass, order-
+    sensitive so near-identical token streams with swaps hash apart)."""
+    from tokforge.sources.requests import requests_df
+
     docs = load_documents(spark, sf_dir)
     normalized = F.replace(F.lower("text"), F.lit(" "), F.lit(""))
-    return docs.select(
+    md5_fp = docs.select(
         "doc_id",
         F.substring(F.md5(normalized), 1, 16).alias("fingerprint"),
         F.length(normalized).cast("long").alias("normalized_len"),
     )
+    req = requests_df(spark, sf_dir, "fingerprint").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.aggregate(
+            "tokens",
+            F.lit(0).cast("long"),
+            lambda acc, t: (acc * _RH_B + t.cast("long")) % _RH_M,
+        ).alias("rolling_hash"),
+    )
+    return md5_fp.join(req, "doc_id")
 
 
-SQL_FINGERPRINT = """SELECT doc_id,
-       substr(md5(replace(lower(text), ' ', '')), 1, 16) AS fingerprint,
-       length(replace(lower(text), ' ', '')) AS normalized_len
-FROM documents"""
+SQL_FINGERPRINT = f"""WITH {sql_requests_cte()}
+SELECT d.doc_id,
+       substr(md5(replace(lower(d.text), ' ', '')), 1, 16) AS fingerprint,
+       length(replace(lower(d.text), ' ', '')) AS normalized_len,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(r.tokens, x -> CAST(x AS BIGINT))),
+                   (acc, t) -> (acc * {_RH_B} + t) % {_RH_M}) AS rolling_hash
+FROM documents d JOIN req r ON r.doc_num = d.doc_id"""
 
 
 TEXT_QUERIES = {
