@@ -222,6 +222,7 @@ def test_cache_ttl_rearmed_on_every_invocation(spark):
     req = _signed_requests(spark, limit=1).toPandas()
     batch = pd.DataFrame(
         {
+            "cache_key": ["k0"],
             "doc_id": req["doc_id"],
             "ts": req["ts"],
             "tokens": req["tokens"],
@@ -231,16 +232,17 @@ def test_cache_ttl_rearmed_on_every_invocation(spark):
         }
     )
     for make in (
-        lambda: make_cache_state_func(CFG, ttl_ms=1000),
-        lambda: make_info_state_func(CFG, ttl_ms=1000),
+        lambda: make_cache_state_func(CFG, ttl_ms=100000),
+        lambda: make_info_state_func(CFG, ttl_ms=100000),
     ):
         fn = make()
         state = _StubGroupState()
-        out1 = list(fn(("k",), iter([batch]), state))  # MISS -> arm
+        out1 = list(fn((0,), iter([batch]), state))  # MISS -> arm
         assert state.timeout_set_count == 1, "MISS must arm the TTL"
-        out2 = list(fn(("k",), iter([batch]), state))  # HIT -> must RE-arm
+        out2 = list(fn((0,), iter([batch]), state))  # HIT -> must RE-arm
         assert state.timeout_set_count == 2, "HIT must re-arm the TTL"
-        assert out1 and out2
+        assert out1[0]["cache_status" if "cache_status" in out1[0] else "info_status"][0] == "MISS"
+        assert out2[0]["cache_status" if "cache_status" in out2[0] else "info_status"][0] == "HIT"
 
 
 def test_info_cache_second_namespace(spark, tmp_path):

@@ -8,6 +8,12 @@ is keyed by doc_id (info is per-source-document, independent of the ops
 chain) and stores only the post-transform metadata — no token payload —
 so state stays tiny and TTL-bounded.
 
+Like the result cache (cache_state.py), the doc_id key space is hashed
+into buckets and each bucket's state is a compact entry table: one Python
+invocation per BUCKET, not per key — the per-group overhead of the
+grouped-pandas API is the 100 TB bottleneck otherwise (measured; see
+cache_state.py docstring).
+
 The first request for a doc computes the info (MISS) and inserts; later
 requests — same micro-batch or later ones while the TTL holds — serve the
 stored row (HIT) without recomputing.
@@ -15,13 +21,16 @@ stored row (HIT) without recomputing.
 
 from __future__ import annotations
 
+import time
 from typing import Iterator, Tuple
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     IntegerType,
     LongType,
     StringType,
@@ -47,26 +56,30 @@ INFO_OUTPUT_SCHEMA = StructType(
     ]
 )
 
+# One bucket's compacted info table: parallel arrays keyed by doc_id.
 INFO_STATE_SCHEMA = StructType(
     [
-        StructField("n_out", IntegerType()),
-        StructField("dtype", StringType()),
-        StructField("size_bytes", LongType()),
-        StructField("inserted_ms", LongType()),
+        StructField("keys", ArrayType(StringType())),
+        StructField("n_outs", ArrayType(IntegerType())),
+        StructField("dtypes", ArrayType(StringType())),
+        StructField("sizes", ArrayType(LongType())),
+        StructField("last_ms", ArrayType(LongType())),
     ]
 )
 
+DEFAULT_BUCKETS = 16384
+
 
 def make_info_state_func(config: EngineConfig = DEFAULT_CONFIG, ttl_ms: int = 0):
-    """Stateful group function for the info namespace.  ttl_ms <= 0
-    disables eviction (mirrors cache_state.make_cache_state_func)."""
+    """Stateful group function for the info namespace (key = hash bucket).
+    ttl_ms <= 0 disables eviction; entries expire ttl_ms after last access
+    (sliding), idle buckets drop whole via the group timeout."""
 
     def info_fn(
-        key: Tuple[str],
+        key: Tuple[int],
         pdf_iter: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        doc_id = key[0]
         if state.hasTimedOut:
             state.remove()
             return
@@ -74,14 +87,24 @@ def make_info_state_func(config: EngineConfig = DEFAULT_CONFIG, ttl_ms: int = 0)
         chunks = list(pdf_iter)
         rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
         m = len(rows)
+        doc_ids = rows["doc_id"].to_numpy(dtype=object)
         ts_vals = rows["ts"].to_numpy()
-        order = np.argsort(ts_vals, kind="stable") if m > 1 else np.arange(m)
+        order = np.lexsort((doc_ids, ts_vals)) if m > 1 else np.arange(m)
         tokens_col = rows["tokens"].to_numpy(dtype=object)
         ops_col = rows["ops"].to_numpy(dtype=object)
         ori_col = rows["orientation"].to_numpy()
         sdt_col = rows["src_dtype"].to_numpy(dtype=object)
 
-        cached = state.get if state.exists else None  # (n_out, dtype, size, ms)
+        entries: dict = {}  # doc_id -> [n_out, dtype, size, last_ms]
+        if state.exists:
+            keys, n_outs_s, dtypes_s, sizes_s, last_s = state.get
+            entries = {
+                k: [n, d, sz, lm]
+                for k, n, d, sz, lm in zip(keys, n_outs_s, dtypes_s, sizes_s, last_s)
+            }
+        now_ms = int(time.time() * 1000)
+        if ttl_ms > 0 and entries:
+            entries = {k: v for k, v in entries.items() if now_ms - v[3] <= ttl_ms}
 
         statuses = np.empty(m, dtype=object)
         n_out = np.zeros(m, dtype=np.int32)
@@ -90,9 +113,11 @@ def make_info_state_func(config: EngineConfig = DEFAULT_CONFIG, ttl_ms: int = 0)
         errors = np.full(m, None, dtype=object)
 
         for i in order:
-            if cached is not None:
+            ent = entries.get(doc_ids[i])
+            if ent is not None:
                 statuses[i] = "HIT"
-                n_out[i], dtypes[i], sizes[i] = cached[0], cached[1], cached[2]
+                n_out[i], dtypes[i], sizes[i] = ent[0], ent[1], ent[2]
+                ent[3] = now_ms
                 continue
             try:
                 plan = _plan_for(ops_col[i], config)
@@ -109,20 +134,32 @@ def make_info_state_func(config: EngineConfig = DEFAULT_CONFIG, ttl_ms: int = 0)
                 statuses[i] = "ERROR"
                 errors[i] = str(exc)
                 continue
-            cached = (int(result.tokens.shape[0]), result.dtype, int(result.size_bytes), 0)
-            state.update(cached)
+            ent = [int(result.tokens.shape[0]), result.dtype, int(result.size_bytes), now_ms]
+            entries[doc_ids[i]] = ent
             statuses[i] = "MISS"
-            n_out[i], dtypes[i], sizes[i] = cached[0], cached[1], cached[2]
+            n_out[i], dtypes[i], sizes[i] = ent[0], ent[1], ent[2]
 
-        # re-arm on every invocation (sliding TTL): Spark clears the pending
-        # timeout when the function runs for a key, so a HIT would otherwise
-        # disarm eviction permanently (see cache_state.py)
-        if ttl_ms > 0 and state.exists:
-            state.setTimeoutDuration(ttl_ms)
+        if entries:
+            ks = list(entries.keys())
+            state.update(
+                (
+                    ks,
+                    [entries[k][0] for k in ks],
+                    [entries[k][1] for k in ks],
+                    [entries[k][2] for k in ks],
+                    [entries[k][3] for k in ks],
+                )
+            )
+            if ttl_ms > 0:
+                # re-arm on every invocation (Spark clears the pending
+                # timeout when the function runs; see cache_state.py)
+                state.setTimeoutDuration(ttl_ms)
+        elif state.exists:
+            state.remove()
 
         yield pd.DataFrame(
             {
-                "doc_id": np.full(m, doc_id, dtype=object),
+                "doc_id": doc_ids,
                 "ts": ts_vals,
                 "info_status": statuses,
                 "n_out": n_out,
@@ -139,16 +176,21 @@ def with_info_state(
     requests: DataFrame,
     config: EngineConfig = DEFAULT_CONFIG,
     ttl_ms: int = 0,
+    buckets: int = DEFAULT_BUCKETS,
 ) -> DataFrame:
     """Attach the info-cache state to a (streaming) request DataFrame.
-    Shuffles once on doc_id — a DIFFERENT key than the result cache's
-    cache_key, which is what makes it a genuine second namespace."""
+    Shuffles once on the doc_id HASH BUCKET — a DIFFERENT key space than
+    the result cache's cache_key buckets, which is what makes it a genuine
+    second namespace."""
+    keyed = requests.withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(buckets))
+    )
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
         if ttl_ms > 0
         else GroupStateTimeout.NoTimeout
     )
-    return requests.groupBy("doc_id").applyInPandasWithState(
+    return keyed.groupBy("_bucket").applyInPandasWithState(
         make_info_state_func(config, ttl_ms),
         INFO_OUTPUT_SCHEMA,
         INFO_STATE_SCHEMA,
