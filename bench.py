@@ -83,37 +83,60 @@ def bench_transform(spark, sf_dir, cfg, chain, verify):
     return best
 
 
+def best_of(fn, n=3):
+    """Untimed warm-up + best-of-n.  The sandbox first-touches pages at
+    20-70 MB/s and timing windows vary up to 3x (BENCH.md method), so a
+    single cold pass can read 2x off; only the warmed steady state — a
+    long-running executor's profile — compares run-to-run."""
+    fn()  # warm-up (pages, code caches, python workers)
+    best = None
+    for _ in range(n):
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        if best is None or dt < best:
+            best = dt
+    return best
+
+
 def bench_windows(spark, sf_dir):
     from tokforge.engine.queries import q_window_session, q_window_tumbling_sliding
 
-    t0 = time.time()
-    q_window_tumbling_sliding(spark, sf_dir).agg(F.sum("n_events")).collect()
-    q_window_session(spark, sf_dir).agg(F.sum("n_events")).collect()
-    return time.time() - t0
+    def run():
+        q_window_tumbling_sliding(spark, sf_dir).agg(F.sum("n_events")).collect()
+        q_window_session(spark, sf_dir).agg(F.sum("n_events")).collect()
+
+    return best_of(run)
 
 
 def bench_dedup(spark, sf_dir):
     from tokforge.pipeline.dedup import q_lsh_pairs, q_simhash
 
-    t0 = time.time()
-    q_simhash(spark, sf_dir).agg(F.sum("simhash16")).collect()
-    q_lsh_pairs(spark, sf_dir).count()
-    return time.time() - t0
+    def run():
+        q_simhash(spark, sf_dir).agg(F.sum("simhash16")).collect()
+        q_lsh_pairs(spark, sf_dir).count()
+
+    return best_of(run)
 
 
 def bench_knn(spark, sf_dir):
     from tokforge.pipeline.similarity import q_knn_bruteforce
 
-    t0 = time.time()
-    q_knn_bruteforce(spark, sf_dir).count()
-    return time.time() - t0
+    def run():
+        q_knn_bruteforce(spark, sf_dir).count()
+
+    return best_of(run)
 
 
 def bench_stream_cache(spark, sf_dir, cfg):
     """availableNow streaming pass: watermark + stateful cache + idempotent
     sink over 2 event-time drops of the request stream.  Also reports the
     BASELINE metric directly: sustained tokens/sec THROUGH THE STREAMING
-    PIPELINE (stateful cache included), tokens served / wall time."""
+    PIPELINE (stateful cache included), tokens served / wall time.
+
+    Warmed best-of-2 like everything else: each run gets FRESH sink +
+    checkpoint dirs (the idempotent ledger would skip replays otherwise);
+    the input drops are written once, untimed."""
     from tokforge.streaming.job import read_sink, transform_stream
 
     tmp = tempfile.mkdtemp(prefix="tokforge-bench-")
@@ -122,22 +145,29 @@ def bench_stream_cache(spark, sf_dir, cfg):
         req.withColumn(
             "ts", (F.unix_timestamp("ts") + i * 600).cast("timestamp")
         ).write.mode("append").parquet(f"{tmp}/in/drop={i}")
-    t0 = time.time()
-    query, _ = transform_stream(
-        spark,
-        f"{tmp}/in",
-        f"{tmp}/out",
-        f"{tmp}/ckpt",
-        cfg,
-        verify=False,
-        available_now=True,
-    )
-    query.awaitTermination(600)
-    sunk = read_sink(spark, f"{tmp}/out").agg(
-        F.count("*").alias("n"), F.sum("n_out").alias("tokens_out")
-    ).collect()[0]
-    dt = time.time() - t0
-    return dt, int(sunk["n"]), int(sunk["tokens_out"])
+
+    best = None
+    for it in range(3):  # iteration 0 = untimed warm-up
+        t0 = time.time()
+        query, _ = transform_stream(
+            spark,
+            f"{tmp}/in",
+            f"{tmp}/out{it}",
+            f"{tmp}/ckpt{it}",
+            cfg,
+            verify=False,
+            available_now=True,
+        )
+        query.awaitTermination(600)
+        sunk = read_sink(spark, f"{tmp}/out{it}").agg(
+            F.count("*").alias("n"), F.sum("n_out").alias("tokens_out")
+        ).collect()[0]
+        dt = time.time() - t0
+        if it == 0:
+            continue
+        if best is None or dt < best[0]:
+            best = (dt, int(sunk["n"]), int(sunk["tokens_out"]))
+    return best
 
 
 def main() -> None:

@@ -140,14 +140,17 @@ def main() -> None:
                 "tokens_per_sec_n": thr_n,
                 "tokens_per_sec_4n": thr_4n,
                 "scaling_efficiency": round(eff, 3),
+                "meets_0.8": eff >= 0.8,
             }
         )
         print(json.dumps(pair_results[-1]))
 
+    # every pair is reported symmetrically with its own met/missed flag —
+    # no designated "criterion pair"; BENCH.md states plainly which pair
+    # meets the target and why the saturated one does not
     summary = {
         "metric": "N->4N scaling efficiency, flagship transform pipeline",
         "pairs": pair_results,
-        "criterion_pair": pair_results[0],
         "sf": sf,
     }
     print(json.dumps(summary))
@@ -156,28 +159,44 @@ def main() -> None:
         f"| local[{p['n']}] -> local[{p['n4']}] (x{p['replicas']} replicas) "
         f"| {p['seconds_n']} -> {p['seconds_4n']} "
         f"| {p['tokens_per_sec_n']:,} -> {p['tokens_per_sec_4n']:,} "
-        f"| **{p['scaling_efficiency']:.3f}** |"
+        f"| **{p['scaling_efficiency']:.3f}** "
+        f"| {'MET' if p['meets_0.8'] else 'below target'} |"
         for p in pair_results
     )
-    crit = pair_results[0]
-    bench_md = Path(__file__).resolve().parent / "BENCH.md"
-    bench_md.write_text(
-        f"""# BENCH — measured throughput and scaling
-
-The BASELINE.json scaling criterion (N -> 4N executors, efficiency >= 0.8)
+    section = f"""The BASELINE.json scaling criterion (N -> 4N executors, efficiency >= 0.8)
 is evidenced in this sandbox by running the identical flagship job —
 signed-request validation + full 12-op transform chain as one vectorized
-Arrow UDF — at two parallelism PAIRS on the same input ({sf}):
+Arrow UDF — at two parallelism PAIRS on the same input ({sf}).  Both pairs
+are reported against the same >= 0.8 target; neither is privileged:
 
-| pair | wall time (s) | tokens/sec | efficiency |
-|---|---|---|---|
+| pair | wall time (s) | tokens/sec | efficiency | vs 0.8 target |
+|---|---|---|---|---|
 {rows}
 
-**Criterion pair (pre-saturation): local[{crit['n']}] -> local[{crit['n4']}]
-efficiency = {crit['scaling_efficiency']:.3f}** (target >= 0.8).
-The second pair documents the single-socket memory-bus ceiling this
-sandbox imposes above ~8 active cores — a box artifact, not a property of
-the plan (see below).
+To be explicit: the saturated pair (8 -> 32) is BELOW the 0.8 target on
+this box.  The pre-saturation pair meets it.  The roofline controls below
+show why the miss is the single-socket memory-bus ceiling of this sandbox
+(shared by ANY memory-bound process set at 8+ cores, Spark or not), while
+the pre-saturation pair measures the regime a multi-executor cluster —
+where each executor owns its bus — actually runs in.  Readers weighing
+the criterion should look at both numbers plus those controls."""
+
+    bench_md = Path(__file__).resolve().parent / "BENCH.md"
+    begin, end = "<!-- scaling:begin -->", "<!-- scaling:end -->"
+    if bench_md.exists() and begin in bench_md.read_text():
+        # update only the marked scaling block; the hand-written headline /
+        # roofline / streaming sections survive regeneration
+        text = bench_md.read_text()
+        head, rest = text.split(begin, 1)
+        _, tail = rest.split(end, 1)
+        bench_md.write_text(f"{head}{begin}\n{section}\n{end}{tail}")
+    else:
+        bench_md.write_text(
+            f"""# BENCH — measured throughput and scaling
+
+{begin}
+{section}
+{end}
 
 Method notes:
 - each level runs in its own subprocess (fresh JVM, fresh python workers);
@@ -208,7 +227,7 @@ Method notes:
 Regenerate: `python bench_scaling.py` (env: SPARK_GRAFT_SF_DIR,
 TOKFORGE_SCALE_PAIRS="1:4:96,8:32:96").
 """
-    )
+        )
     print(f"wrote {bench_md}")
 
 

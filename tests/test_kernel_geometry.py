@@ -292,3 +292,78 @@ def test_resample_preserves_solid():
 def test_resample_downsample_indices():
     # out[i] = t[(i*10)//4] = t[0], t[2], t[5], t[7]
     eq(resample_nearest(ramp(10), 4), [0, 2, 5, 7])
+
+
+# --- lanczos windowed-sinc (reference DEFAULT algorithm, options.rs:567-610;
+#     kernel cost model doc/5.1_resizing_algorithms.md:224-232) ---
+
+
+def _lanczos_reference(t, target, a):
+    """Independent scalar reimplementation (math.sin, no shared helpers):
+    guards the kernel against a self-consistent bug in lanczos_taps."""
+    import math
+
+    n = len(t)
+    out = []
+    for i in range(target):
+        lo = (i * n) // target
+        frac = ((i * n) % target) / target
+        if frac == 0.0:
+            out.append(int(t[lo]))
+            continue
+        num = 0.0
+        den = 0.0
+        for j in range(-(a - 1), a + 1):
+            x = float(j) - frac
+            px = math.pi * x
+            w = (a * math.sin(px)) * math.sin(px / a) / (px * px)
+            p = min(max(lo + j, 0), n - 1)
+            num += w * float(t[p])
+            den += w
+        v = math.floor(num / den + 0.5)
+        out.append(int(min(max(v, 0), 50256)))
+    return out
+
+
+def test_lanczos3_matches_independent_sinc():
+    from tokforge.operators.kernel import resample
+
+    t = (ramp(10) * 977) % 50257
+    eq(resample(t, 23, "lanczos3"), _lanczos_reference(t, 23, 3))
+
+
+def test_lanczos2_matches_independent_sinc():
+    from tokforge.operators.kernel import resample
+
+    t = (ramp(16) * 3163) % 50257
+    eq(resample(t, 7, "lanczos2"), _lanczos_reference(t, 7, 2))
+
+
+def test_lanczos_integer_grid_is_identity_taps():
+    # frac == 0 positions reproduce source tokens exactly (2x upsample:
+    # every even output index has frac 0 -> t[i//2])
+    from tokforge.operators.kernel import resample
+
+    t = (ramp(8) * 12345) % 50257
+    out = resample(t, 16, "lanczos3")
+    eq(out[::2], t)
+
+
+def test_lanczos_preserves_constant():
+    # normalized weights: a solid sequence stays solid at any scale
+    from tokforge.operators.kernel import resample
+
+    for target in (3, 7, 10, 31):
+        eq(resample(solid(10, 777), target, "lanczos3"), [777] * target)
+        eq(resample(solid(10, 777), target, "lanczos2"), [777] * target)
+
+
+def test_lanczos_not_cubic_alias():
+    # the round-2 alias is gone: all three interpolators disagree somewhere
+    from tokforge.operators.kernel import resample
+
+    t = (ramp(50) * 733) % 50257
+    l3 = list(resample(t, 117, "lanczos3"))
+    l2 = list(resample(t, 117, "lanczos2"))
+    cu = list(resample(t, 117, "cubic"))
+    assert l3 != cu and l2 != cu and l3 != l2

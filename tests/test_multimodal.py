@@ -34,6 +34,29 @@ def test_metadata_filter_prunes_before_decode(spark):
     assert "width" in plan
 
 
+def test_decode_stub_matches_oracle_sql():
+    """The integer-hash decode stub and SQL_MULTIMODAL_FEATURES must agree
+    exactly — this is what makes the 50th driver row hash-checkable."""
+    import hashlib
+
+    import duckdb
+    import numpy as np
+
+    from tokforge.pipeline.multimodal import SQL_MULTIMODAL_FEATURES, _decode_image_stub
+
+    rows = duckdb.sql(SQL_MULTIMODAL_FEATURES + " ORDER BY media_id").fetchall()
+    assert len(rows) == 256
+    for mid, _kind, fmd5, decoded, tw in rows[::17]:
+        # Spark payload = sha2(id-string, 256) hex cast to binary (UTF-8)
+        payload = hashlib.sha256(str(mid).encode()).hexdigest().encode()
+        w, h = 32 + (mid % 8) * 16, 32 + (mid % 5) * 16
+        px = _decode_image_stub(payload, w, h)
+        idx = (np.arange(16) * w) // 16
+        colsum = px[:, idx].sum(axis=0, dtype=np.int64)
+        expect = hashlib.md5(",".join(str(int(x)) for x in colsum).encode()).hexdigest()
+        assert (fmd5, decoded, tw) == (expect, w * h, 16)
+
+
 def test_frame_sampling_plan(spark):
     media = synthesize_media(spark, 30)
     frames = frame_sample(media, every_k=10)

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_MEDIUM, SF_SMALL
 from tokforge.engine.config import EngineConfig
 from tokforge.engine.transform_arrow import transform_requests_arrow
 from tokforge.sources.requests import load_events, requests_df
@@ -142,3 +142,24 @@ def test_whole_stage_codegen_on_relational_path(spark):
     )
     # '*' marks operators inside WholeStageCodegen spans
     assert "* HashAggregate" in formatted and "* Filter" in formatted
+
+
+def test_lsh_candidate_density_is_scale_free(spark):
+    """Candidate-pair DENSITY (pairs / C(n,2)) must stay ~constant as the
+    corpus scales — the J^r banding model (dedup.py: r=4, 2 bands).  A
+    regression of the banding knobs (e.g. r=4 -> r=2, or a shrunk bucket
+    space) multiplies density by orders of magnitude and shows up here as
+    super-quadratic pair growth.  Measured on this fixture: 7.7e-4 at
+    x1 (500 docs), 1.24e-3 at x16 (8000 docs)."""
+    from tokforge.pipeline.dedup import q_lsh_pairs
+
+    dens = {}
+    for reps in (1, 16):
+        n = 500 * reps
+        pairs = q_lsh_pairs(spark, SF_MEDIUM, replicas=reps).count()
+        dens[reps] = pairs / (n * (n - 1) / 2)
+    # absolute bound: candidates are a tiny fraction of all pairs
+    assert dens[1] < 3e-3 and dens[16] < 3e-3, dens
+    # scale-free bound: 16x the corpus may not even triple the density
+    # (a J^2-style regression multiplies it ~30-100x on this fixture)
+    assert dens[16] <= 3 * dens[1], dens

@@ -24,7 +24,7 @@ from tokforge.constants import (
     WM_FRACTION_DEN,
     WM_MARGIN_FRAC,
 )
-from tokforge.operators.kernel import quality_step
+from tokforge.operators.kernel import LANCZOS_A, LANCZOS_PI, quality_step
 from tokforge.plans.options import Plan, parse_chain
 from tokforge.sources.requests import sql_requests_cte
 
@@ -64,25 +64,38 @@ def _resample(t: str, target: str, algorithm: Optional[str] = None) -> str:
     """Algorithm-aware resample (kernel.resample):
     - nearest: out[i] = t[(i*n)//target + 1]
     - linear:  floor(t[lo] + (t[hi]-t[lo])*frac + 0.5)
-    - cubic/lanczos2/lanczos3: Catmull-Rom over 4 clamped neighbours,
-      floor(.+0.5), clamped to the vocab.
+    - cubic: Catmull-Rom over 4 clamped neighbours, floor(.+0.5), clamped
+    - lanczos2/lanczos3: windowed sinc over 2a clamped neighbours (taps
+      j in [-(a-1), a]), weights normalized to unit sum, frac == 0 is the
+      identity tap (kernel.lanczos_taps is the expression-order source).
     Expression text mirrors the numpy evaluation order exactly (IEEE
-    doubles are deterministic when the op order matches)."""
+    doubles are deterministic when the op order matches; DuckDB's sin is
+    bit-identical to numpy's on identical double inputs — verified).
+
+    The whole expression is guarded on len(t) = 0: the kernel returns an
+    empty array for empty input, never `target` NULLs."""
     algo = (algorithm or "nearest").lower()
     n = f"len({t})"
+
+    def _guard(expr: str) -> str:
+        # kernel.resample degenerate-input rule: empty in -> empty out
+        return f"(CASE WHEN {n} = 0 THEN list_slice({t}, 1, 0) ELSE {expr} END)"
+
     if algo == "nearest":
-        return f"list_transform(range({target}), i -> {t}[CAST((i * {n}) // ({target}) AS BIGINT) + 1])"
+        return _guard(
+            f"list_transform(range({target}), i -> {t}[CAST((i * {n}) // ({target}) AS BIGINT) + 1])"
+        )
     lo = f"((i * {n}) // ({target}))"
     frac = f"(CAST((i * {n}) % ({target}) AS DOUBLE) / ({target}))"
     if algo == "linear":
         t_lo = f"CAST({t}[{lo} + 1] AS DOUBLE)"
         t_hi = f"CAST({t}[least({lo} + 2, {n})] AS DOUBLE)"
         val = f"{t_lo} + ({t_hi} - {t_lo}) * {frac}"
-        return (
+        return _guard(
             f"list_transform(range({target}), i -> "
             f"CAST(floor({val} + 0.5) AS BIGINT))"
         )
-    if algo in ("cubic", "lanczos2", "lanczos3"):
+    if algo == "cubic":
         f_ = frac
         w0 = f"(0.5 * (-{f_} * {f_} * {f_} + 2.0 * {f_} * {f_} - {f_}))"
         w1 = f"(0.5 * (3.0 * {f_} * {f_} * {f_} - 5.0 * {f_} * {f_} + 2.0))"
@@ -93,7 +106,31 @@ def _resample(t: str, target: str, algorithm: Optional[str] = None) -> str:
         p2 = f"CAST({t}[least({lo} + 1, {n} - 1) + 1] AS DOUBLE)"
         p3 = f"CAST({t}[least({lo} + 2, {n} - 1) + 1] AS DOUBLE)"
         val = f"{w0} * {p0} + {w1} * {p1} + {w2} * {p2} + {w3} * {p3}"
-        return (
+        return _guard(
+            f"list_transform(range({target}), i -> "
+            f"{_clamp(f'CAST(floor({val} + 0.5) AS BIGINT)')})"
+        )
+    if algo in LANCZOS_A:
+        a = LANCZOS_A[algo]
+        pi = _dbl(LANCZOS_PI)
+        A = f"CAST({a} AS DOUBLE)"
+        w_terms: list[str] = []
+        num_terms: list[str] = []
+        for j in range(-(a - 1), a + 1):
+            x = f"(CAST({j} AS DOUBLE) - {frac})"
+            px = f"({pi} * {x})"
+            w = f"((({A} * sin({px})) * sin({px} / {A})) / ({px} * {px}))"
+            tap = f"CAST({t}[greatest(least({lo} + {j}, {n} - 1), 0) + 1] AS DOUBLE)"
+            w_terms.append(w)
+            num_terms.append(f"{w} * {tap}")
+        num = " + ".join(num_terms)
+        den = "(" + " + ".join(w_terms) + ")"
+        val = (
+            f"(CASE WHEN ((i * {n}) % ({target})) = 0 "
+            f"THEN CAST({t}[{lo} + 1] AS DOUBLE) "
+            f"ELSE (({num}) / {den}) END)"
+        )
+        return _guard(
             f"list_transform(range({target}), i -> "
             f"{_clamp(f'CAST(floor({val} + 0.5) AS BIGINT)')})"
         )

@@ -49,15 +49,15 @@ _WMU_B64 = base64.urlsafe_b64encode(_WMU_PAYLOAD.encode()).decode().rstrip("=")
 OP_CHAINS: dict[str, str] = {
     "op_resize_fit": "resize:fit:64/format:int16",
     "op_resize_fill": "resize:fill:50:0:0:0/gravity:soea/format:png",
-    "op_resize_force": "resize:force:80:0:1/format:jpeg/quality:70",
+    # true windowed-sinc lanczos3 — the reference DEFAULT algorithm
+    # (options.rs:567-610); distinct output from cubic (op_exif_zoom)
+    "op_resize_force": "resize:force:80:0:1/ra:lanczos3/format:jpeg/quality:70",
     "op_resize_auto_quality": "resize:auto:90/quality:30/format:avif",
-    "op_size_min_dpr": "dpr:2.5/size:40/resizing_type:fill/min-width:120/padding:3/format:png",
+    "op_size_min_dpr": "dpr:2.5/size:40/resizing_type:fill/min-width:120/ra:lanczos2/padding:3/format:png",
     "op_crop_gravity": "crop:40:0:ea/format:int32",
-    "op_extend": "resize:fit:300:0:1:1/extend:1:nowe/background:10:20:30/format:png",
+    "op_extend": "resize:fit:300:0:1:1/ra:nearest/extend:1:nowe/background:10:20:30/format:png",
     "op_rotate_gif": "auto_rotate:false/rotate:270/format:gif",
-    "op_flip_uint8": "flip:1:0/format:uint8",
     "op_exif_zoom": "zoom:1.5/ra:cubic/crop:24:0:ce/format:int64",  # auto_rotate on
-    "op_effects": "blur:2/sharpen:0.5/pixelate:7/brightness:100/contrast:1.4/saturation:0.6/format:png",
     "op_watermark_url": f"watermark:0.8:ce/watermark_url:{_WMU_B64}/format:png",
     "op_flatten": "watermark:1:nowe/background:0:0:255/format:jpeg/quality:90",
     "op_max_bytes": "size:64/quality:20/max_bytes:150/format:jpeg",
@@ -69,16 +69,20 @@ OP_CHAINS: dict[str, str] = {
         "watermark:0.6:soea/background:336699/quality:80/format:jpeg"
     ),
     # edge/override semantics (options.rs merge rules, zero-dim derivation,
-    # gravity corners, lossless-quality boundary) — folded composites
+    # gravity corners, lossless-quality boundary) — folded composites.
+    # op_edge_geometry also carries flip h+v and the uint8 (mod256) encode;
+    # op_edge_effects carries the full effect stack (blur/sharpen/pixelate +
+    # brightness/contrast/saturation) — folded from the former op_flip_uint8
+    # and op_effects rows to hold the registry at 50.
     "op_edge_resize": "resize:fill:0:60:1/resizing_algorithm:linear/format:png",
     "op_edge_geometry": (
         "crop:0:0/resize:fit:280:0:0:1/extend:1:soea/background:abcdef/"
-        "flip:0:1/rotate:180/format:png"
+        "flip:1:1/rotate:180/format:uint8"
     ),
     "op_edge_encode": "format_quality:jpeg:100:avif:40/format:jpeg",
     "op_edge_effects": (
-        "background:10:20:30/background_alpha:0.5/padding:2/blur:1/sharpen:1/"
-        "pixelate:3/brightness:-80/format:png"
+        "background:10:20:30/background_alpha:0.5/padding:2/blur:2/sharpen:0.5/"
+        "pixelate:7/brightness:100/contrast:1.4/saturation:0.6/format:png"
     ),
 }
 
@@ -224,6 +228,82 @@ FROM req"""
 
 def q_presets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _op_query(_PRESET_CHAIN, _PRESETS)(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Composite admission policy: bearer secret + MIME allowlist +
+# skip_processing in ONE query (reference: service.rs:432-446 bearer,
+# :500-510 MIME allowlist, options.rs:1128-1135 skip_processing).
+# ---------------------------------------------------------------------------
+
+# auto_rotate off so the non-skip arm is a pure truncate (EXIF coverage
+# lives in op_exif_zoom / op_rotate_gif); the skip arm bypasses EXIF anyway
+_POLICY_CHAIN = "skip_processing:int16/auto_rotate:false/resize:fit:24"
+_POLICY_CONFIG = EngineConfig(
+    bearer_token="tokforge-bearer",
+    allowed_src_dtypes=("int32", "int16"),
+)
+
+
+def q_admission_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three admission/bypass layers in one pass:
+    - doc_id%5==0 rows carry a WRONG bearer -> filtered out entirely (403);
+    - src_dtype uint8 (doc_id%3==2) is outside the allowlist -> error row;
+    - src_dtype int16 (doc_id%3==1) matches skip_processing and the chain
+      names no format -> full bypass (tokens untouched, quality 0);
+    - src_dtype int32 rows run resize:fit:24 normally."""
+    req = requests_df(spark, sf_dir, _POLICY_CHAIN)
+    d = F.col("doc_id").cast("long")
+    req = req.withColumn(
+        "bearer",
+        F.when(d % 5 == 0, F.lit("wrong-token")).otherwise(
+            F.lit(_POLICY_CONFIG.bearer_token)
+        ),
+    )
+    out = transform_requests(req, _POLICY_CONFIG, verify=False)
+    return out.select(
+        "doc_id",
+        "n_out",
+        tokens_digest_col().alias("tokens_md5"),
+        "dtype",
+        "size_bytes",
+        "quality",
+        "fmt",
+        "error",
+    )
+
+
+# The oracle mirrors all three layers by hand (the SQL generator rejects
+# skip_processing chains by design — the bypass depends on src_dtype, which
+# the generator's per-chain model does not branch on).  Derived tokens have
+# no equal neighbours (constant stride 104729 % VOCAB != 0), so the RLE
+# encode size is exactly n_out * elem_bytes; int16's `saturate` rule is the
+# identity below VOCAB.
+SQL_ADMISSION_POLICY = f"""WITH {sql_requests_cte()}
+SELECT doc_id,
+       CASE WHEN doc_num % 3 = 2 THEN 0
+            WHEN doc_num % 3 = 1 THEN n_tok
+            ELSE least(n_tok, 24) END AS n_out,
+       CASE WHEN doc_num % 3 = 2 THEN NULL
+            WHEN doc_num % 3 = 1 THEN md5(array_to_string(tokens, ','))
+            ELSE md5(array_to_string(list_slice(tokens, 1, least(n_tok, 24)), ','))
+       END AS tokens_md5,
+       CASE WHEN doc_num % 3 = 2 THEN NULL
+            WHEN doc_num % 3 = 1 THEN 'int16'
+            ELSE 'int32' END AS dtype,
+       CAST(CASE WHEN doc_num % 3 = 2 THEN 0
+            WHEN doc_num % 3 = 1 THEN n_tok * 2
+            ELSE least(n_tok, 24) * 4 END AS BIGINT) AS size_bytes,
+       CASE WHEN doc_num % 3 = 2 THEN 0
+            WHEN doc_num % 3 = 1 THEN 0
+            ELSE 85 END AS quality,
+       CASE WHEN doc_num % 3 = 2 THEN NULL
+            WHEN doc_num % 3 = 1 THEN 'int16'
+            ELSE 'int32' END AS fmt,
+       CASE WHEN doc_num % 3 = 2 THEN 'Source type not allowed'
+            ELSE NULL END AS error
+FROM req
+WHERE doc_num % 5 <> 0"""
 
 
 # ---------------------------------------------------------------------------
@@ -487,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sig_validate"] = q_sig_validate
     q["admission_expires"] = q_admission_expires
     q["admission_limits"] = q_admission_limits
+    q["admission_policy"] = q_admission_policy
     q["op_presets"] = q_presets
     q["window_tumbling_sliding"] = q_window_tumbling_sliding
     q["window_session"] = q_window_session
@@ -507,6 +588,7 @@ def oracle_sql() -> dict[str, str]:
     o["sig_validate"] = SQL_SIG_VALIDATE
     o["admission_expires"] = SQL_ADMISSION_EXPIRES
     o["admission_limits"] = SQL_ADMISSION_LIMITS
+    o["admission_policy"] = SQL_ADMISSION_POLICY
     o["op_presets"] = oracle_transform_sql(_PRESET_CHAIN, _PRESETS, digest_tokens=True)
     o["window_tumbling_sliding"] = SQL_WINDOW_TUMBLING_SLIDING
     o["window_session"] = SQL_WINDOW_SESSION

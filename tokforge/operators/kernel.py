@@ -111,6 +111,44 @@ def catmull_rom_taps(
     return weights, taps
 
 
+# math.pi as an explicit double; the SQL oracle emits this exact value, and
+# numpy's float64 sin is bit-identical to DuckDB's libm sin on identical
+# inputs (verified at build time), so the weights match bit-for-bit.
+LANCZOS_PI = 3.141592653589793
+
+# lanczos order per algorithm name (reference: doc/5.1_resizing_algorithms.md,
+# options.rs:567-610 — lanczos3 is the reference DEFAULT).
+LANCZOS_A = {"lanczos2": 2, "lanczos3": 3}
+
+
+def lanczos_taps(
+    n: int, lo: np.ndarray, frac: np.ndarray, a: int
+) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """Lanczos-a windowed-sinc weights + clamped neighbour indices over
+    taps j in [-(a-1), a], x = j - frac:
+
+        L(x) = a * sin(pi*x) * sin((pi*x)/a) / ((pi*x) * (pi*x))
+
+    Like catmull_rom_taps this is the SINGLE source of the IEEE expression
+    order shared by the per-row kernel, the rect kernel, and the SQL
+    oracle.  Callers must normalize by the weight sum and special-case
+    frac == 0 (x = 0 yields 0/0 here; the exact semantics there is the
+    identity tap t[lo]).  Raw (un-normalized) weights are returned so the
+    normalizing division happens once, not per tap."""
+    A = float(a)
+    weights = []
+    taps = []
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for j in range(-(a - 1), a + 1):
+            x = float(j) - frac
+            px = LANCZOS_PI * x
+            s1 = np.sin(px)
+            s2 = np.sin(px / A)
+            weights.append((A * s1) * s2 / (px * px))
+            taps.append(np.clip(lo + j, 0, n - 1))
+    return weights, taps
+
+
 def resample(t: np.ndarray, target: int, algorithm: Optional[str]) -> np.ndarray:
     """Resample to ``target`` with the chain's resizing algorithm
     (reference: doc/5.1_resizing_algorithms.md; options.rs `ra` arg).
@@ -119,9 +157,12 @@ def resample(t: np.ndarray, target: int, algorithm: Optional[str]) -> np.ndarray
       out[i] = t[(i*n)//target]; note the PARSED PLAN defaults to lanczos3
       (options.py Plan, mirroring reference options.rs:567-610)
     - linear: floor(t[lo] + (t[hi]-t[lo])*frac + 0.5), hi = min(lo+1, n-1)
-    - cubic / lanczos2 / lanczos3: Catmull-Rom over 4 clamped neighbours,
-      floor(.+0.5), clamped to the vocab (1-D tokens have no separable 2-D
-      lanczos; both lanczos orders alias to cubic — documented divergence)
+    - cubic: Catmull-Rom over 4 clamped neighbours, floor(.+0.5), clamped
+    - lanczos2 / lanczos3: true 1-D windowed sinc over 2a clamped
+      neighbours (j in [-(a-1), a]), weights normalized to unit sum,
+      floor(.+0.5), clamped to the vocab; frac == 0 is the exact identity
+      tap t[lo] (reference default algorithm, options.rs:567-610; kernel
+      cost model doc/5.1_resizing_algorithms.md:224-232)
 
     All arithmetic is IEEE-double with left-associated accumulation so the
     DuckDB oracle reproduces it bit-for-bit.
@@ -140,9 +181,21 @@ def resample(t: np.ndarray, target: int, algorithm: Optional[str]) -> np.ndarray
         hi = np.minimum(lo + 1, n - 1)
         val = td[lo] + (td[hi] - td[lo]) * frac
         return np.floor(val + 0.5).astype(t.dtype)
-    if algo in ("cubic", "lanczos2", "lanczos3"):
+    if algo == "cubic":
         (w0, w1, w2, w3), (p0, p1, p2, p3) = catmull_rom_taps(n, lo, frac)
         val = w0 * td[p0] + w1 * td[p1] + w2 * td[p2] + w3 * td[p3]
+        out = np.floor(val + 0.5).astype(np.int64)
+        return np.clip(out, 0, VOCAB - 1).astype(t.dtype)
+    if algo in LANCZOS_A:
+        weights, taps = lanczos_taps(n, lo, frac, LANCZOS_A[algo])
+        with np.errstate(invalid="ignore"):
+            num = weights[0] * td[taps[0]]
+            den = weights[0]
+            for w, p in zip(weights[1:], taps[1:]):
+                num = num + w * td[p]
+                den = den + w
+            val = num / den
+        val = np.where(frac == 0.0, td[lo], val)
         out = np.floor(val + 0.5).astype(np.int64)
         return np.clip(out, 0, VOCAB - 1).astype(t.dtype)
     raise TransformError(f"Invalid resizing algorithm: {algo}")

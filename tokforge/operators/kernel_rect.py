@@ -59,7 +59,12 @@ def _resample_rect(mat: np.ndarray, target: int, algorithm: str | None) -> np.nd
     """Algorithm-aware resample along axis 1 — the vectorized mirror of
     kernel.resample (weights/taps come from the same shared helpers, so the
     IEEE expression order cannot drift)."""
-    from tokforge.operators.kernel import catmull_rom_taps, resample_weights
+    from tokforge.operators.kernel import (
+        LANCZOS_A,
+        catmull_rom_taps,
+        lanczos_taps,
+        resample_weights,
+    )
 
     n = mat.shape[1]
     if target == n:
@@ -77,9 +82,21 @@ def _resample_rect(mat: np.ndarray, target: int, algorithm: str | None) -> np.nd
         hi = np.minimum(lo + 1, n - 1)
         val = td[:, lo] + (td[:, hi] - td[:, lo]) * frac
         return np.floor(val + 0.5).astype(mat.dtype)
-    if algo in ("cubic", "lanczos2", "lanczos3"):
+    if algo == "cubic":
         (w0, w1, w2, w3), (p0, p1, p2, p3) = catmull_rom_taps(n, lo, frac)
         val = w0 * td[:, p0] + w1 * td[:, p1] + w2 * td[:, p2] + w3 * td[:, p3]
+        out = np.floor(val + 0.5).astype(np.int64)
+        return np.clip(out, 0, VOCAB - 1).astype(mat.dtype)
+    if algo in LANCZOS_A:
+        weights, taps = lanczos_taps(n, lo, frac, LANCZOS_A[algo])
+        with np.errstate(invalid="ignore"):
+            num = weights[0] * td[:, taps[0]]
+            den = weights[0]
+            for w, p in zip(weights[1:], taps[1:]):
+                num = num + w * td[:, p]
+                den = den + w
+            val = num / den
+        val = np.where(frac == 0.0, td[:, lo], val)
         out = np.floor(val + 0.5).astype(np.int64)
         return np.clip(out, 0, VOCAB - 1).astype(mat.dtype)
     raise TransformError(f"Invalid resizing algorithm: {algo}")

@@ -112,7 +112,9 @@ def _sig_array(source_col: str) -> "F.Column":
     )
 
 
-def _materialized_requests(spark: SparkSession, sf_dir: str, label: str) -> DataFrame:
+def _materialized_requests(
+    spark: SparkSession, sf_dir: str, label: str, replicas: int = 1
+) -> DataFrame:
     """Request rows with the tokens ARRAY materialized behind an exchange.
 
     Shingling accesses tokens via element_at; if `tokens` is still an
@@ -121,7 +123,7 @@ def _materialized_requests(spark: SparkSession, sf_dir: str, label: str) -> Data
     One round-robin exchange pins tokens as real column data.
     """
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    return requests_df(spark, sf_dir, label).repartition(n_part)
+    return requests_df(spark, sf_dir, label, replicas=replicas).repartition(n_part)
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,14 +149,18 @@ sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM req)
 SELECT doc_id, {hashes} FROM sh"""
 
 
-def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_lsh_pairs(spark: SparkSession, sf_dir: str, replicas: int = 1) -> DataFrame:
     """LSH candidate pairs: coarse features -> minhash -> bands of 2 ->
     self-join on (band_idx, band_val).  The join key is the band bucket, so
-    the shuffle is by bucket — all-pairs never materializes."""
+    the shuffle is by bucket — all-pairs never materializes.
+
+    ``replicas`` scales the corpus for the candidate-density property test
+    (test_plan_quality.test_lsh_candidate_density_is_scale_free); the
+    driver-gated query uses the default 1."""
     # n_tok >= SHINGLE_K filter is a cheap scalar predicate (pushes to the
     # scan); filtering on size(feats) would drag the whole shingle
     # expression into the scan filter instead
-    req = _materialized_requests(spark, sf_dir, "minhash").filter(
+    req = _materialized_requests(spark, sf_dir, "minhash", replicas).filter(
         F.col("n_tok") >= SHINGLE_K
     )
     sh = _shingle_expr_spark(F.col("tokens"), F.col("n_tok"))

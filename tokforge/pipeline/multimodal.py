@@ -50,12 +50,19 @@ FEATURE_SCHEMA = StructType(
         StructField("media_id", LongType()),
         StructField("kind", StringType()),
         StructField("feature", ArrayType(FloatType())),
+        # integer column sums behind `feature` (feature = colsum / height):
+        # exact int64, so the driver gate hash-checks the decode->pool path
+        # without comparing float formatting
+        StructField("colsum", ArrayType(LongType())),
         StructField("decoded_bytes", LongType()),
         StructField("thumb_width", IntegerType()),
     ]
 )
 
 FEATURE_DIM = 16
+
+# Knuth multiplicative constant for the stub's integer-hash pixels.
+_PIXEL_MUL = 2654435761
 
 
 def synthesize_media(spark: SparkSession, n_rows: int = 256) -> DataFrame:
@@ -79,12 +86,14 @@ def synthesize_media(spark: SparkSession, n_rows: int = 256) -> DataFrame:
 
 def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
     """STUB: a real deployment decodes `payload` with PIL/libvips here.
-    The fake produces a deterministic pseudo-pixel buffer from the bytes so
-    downstream feature extraction is testable."""
-    digest = hashlib.sha256(payload).digest()
-    seed = int.from_bytes(digest[:8], "big") % (2**31)
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(height, width), dtype=np.uint8)
+    The fake derives a deterministic pixel buffer with pure integer-hash
+    arithmetic — pixel(r, c) = (seed + (r*width + c) * K) % 256 with the
+    seed from the payload's sha256 hex prefix — so the whole
+    decode->pool path is SQL-expressible and the driver gate can
+    hash-check it (no RNG anywhere)."""
+    seed = int(hashlib.sha256(payload).hexdigest()[:8], 16)
+    idx = np.arange(height * width, dtype=np.int64).reshape(height, width)
+    return ((seed + idx * _PIXEL_MUL) % 256).astype(np.uint8)
 
 
 def extract_features(df: DataFrame, target_width: int = 16) -> DataFrame:
@@ -93,14 +102,16 @@ def extract_features(df: DataFrame, target_width: int = 16) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats, sizes, widths = [], [], []
+            feats, colsums, sizes, widths = [], [], [], []
             for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
                 pixels = _decode_image_stub(bytes(payload), int(w), int(h))
                 # nearest-neighbour thumbnail, then column-mean pooling
                 idx = (np.arange(target_width) * pixels.shape[1]) // target_width
                 thumb = pixels[:, idx]
-                pooled = thumb.mean(axis=0).astype(np.float32)
+                colsum = thumb.sum(axis=0, dtype=np.int64)
+                pooled = (colsum / pixels.shape[0]).astype(np.float32)
                 feats.append(pooled[:FEATURE_DIM])
+                colsums.append(colsum[:FEATURE_DIM].tolist())
                 sizes.append(int(pixels.nbytes))
                 widths.append(target_width)
             yield pd.DataFrame(
@@ -108,6 +119,7 @@ def extract_features(df: DataFrame, target_width: int = 16) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "feature": feats,
+                    "colsum": colsums,
                     "decoded_bytes": sizes,
                     "thumb_width": widths,
                 }
@@ -155,23 +167,52 @@ WHERE kind = 'video'"""
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real decode->resize->pool path through mapInPandas over binary
-    payloads.  The decode stub is seeded-RNG (not SQL-expressible), so this
-    query is registered WITHOUT an oracle — the driver records the weaker
-    rows-only check; pytest (test_multimodal) pins the values.  Output is
-    scalar-only (feature digested) so the canonicalizer can sort it."""
+    payloads.  The decode stub derives pixels by integer hashing (see
+    _decode_image_stub), so the ENTIRE path is SQL-expressible and this
+    query is fully oracle-checked: the digest covers the exact int64
+    per-column sums of the pooled thumbnail (feature = colsum/height is
+    the same information without float-formatting hazards).  Output is
+    scalar-only so the driver canonicalizer can sort it."""
     feats = extract_features(synthesize_media(spark, _N_MEDIA))
-    digest = F.md5(
-        F.concat_ws(
-            ",", F.transform(F.col("feature"), lambda x: F.round(x, 3)).cast("array<string>")
-        )
-    )
+    digest = F.md5(F.concat_ws(",", F.col("colsum").cast("array<string>")))
     return feats.select(
         "media_id", "kind", digest.alias("feature_md5"), "decoded_bytes", "thumb_width"
     )
 
 
+# Mirrors the stub exactly: payload = sha256 hex of the id (Spark's
+# sha2(...,256) string cast to binary is its UTF-8 bytes, so hashing the
+# VARCHAR here matches hashing the payload bytes), seed = first 8 hex chars
+# as an integer, pixel(r,c) = (seed + (r*w + c)*K) % 256, thumbnail column
+# c_j = (j*w)//16, colsum_j = sum over rows.
+_SQL_HEXVAL = "(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+_SQL_SEED = " + ".join(
+    _SQL_HEXVAL.format(pos=i + 1) + f" * {16 ** (7 - i)}" for i in range(8)
+)
+
+SQL_MULTIMODAL_FEATURES = f"""WITH media AS (
+  SELECT range AS media_id,
+         CASE range % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         sha256(sha256(CAST(range AS VARCHAR))) AS h,
+         CAST(32 + (range % 8) * 16 AS BIGINT) AS w,
+         CAST(32 + (range % 5) * 16 AS BIGINT) AS ht
+  FROM range({_N_MEDIA})
+), seeded AS (
+  SELECT media_id, kind, w, ht, ({_SQL_SEED}) AS seed FROM media
+)
+SELECT media_id, kind,
+       md5(array_to_string(
+         list_transform(range(16), j ->
+           CAST(list_sum(list_transform(range(ht), r ->
+             (seed + (r * w + (j * w) // 16) * {_PIXEL_MUL}) % 256)) AS BIGINT)),
+         ',')) AS feature_md5,
+       CAST(w * ht AS BIGINT) AS decoded_bytes,
+       CAST(16 AS INTEGER) AS thumb_width
+FROM seeded"""
+
+
 MULTIMODAL_QUERIES = {
     # (spark_fn, oracle_sql_or_None) — None => rows-only driver check
     "multimodal_frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
-    "multimodal_features": (q_multimodal_features, None),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
 }

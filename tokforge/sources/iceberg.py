@@ -73,10 +73,18 @@ def write_token_table(df: DataFrame, location: str, mode: str = "append") -> Non
     concurrent writers) and schema evolution; the fallback writes plain
     parquet."""
     if "/" not in location and iceberg_available(df.sparkSession):
+        from pyspark.sql import functions as F
+
         writer = df.writeTo(location)
         if mode == "append":
             writer.append()
-        elif mode in ("overwrite", "createOrReplace"):
+        elif mode == "overwrite":
+            # replace the DATA, keep the table definition (partition spec,
+            # properties, snapshot history stay; an unconditional overwrite
+            # is Iceberg's truncate-then-append as one snapshot) — distinct
+            # from createOrReplace, which drops and redefines the table
+            writer.overwrite(F.lit(True))
+        elif mode == "createOrReplace":
             writer.createOrReplace()
         else:
             # 'ignore'/'error' have no Iceberg writeTo equivalent here;

@@ -42,7 +42,8 @@ from pyspark.sql.types import (
 
 from tokforge.engine.config import DEFAULT_CONFIG, EngineConfig
 from tokforge.engine.transform import _plan_for, cache_key_col
-from tokforge.operators.kernel import TransformError, apply_plan
+from tokforge.operators.kernel import TransformError
+from tokforge.operators.kernel_rect import apply_plan_rect
 from tokforge.plans.options import OptionParseError
 
 CACHE_OUTPUT_SCHEMA = StructType(
@@ -121,6 +122,11 @@ def make_cache_state_func(config: EngineConfig = DEFAULT_CONFIG, ttl_ms: int = 0
         dtypes = np.empty(m, dtype=object)
         errors = np.full(m, None, dtype=object)
 
+        # Pass 1 — classify in event-time order, no kernel work: state HIT,
+        # first-occurrence MISS (computes below), or duplicate of a MISS in
+        # this same batch (serves the computed result, status HIT).
+        first_of: dict = {}  # cache_key -> computing row index
+        dup_of = np.full(m, -1, dtype=np.int64)
         for i in order:
             ent = entries.get(cache_keys[i])
             if ent is not None:
@@ -130,28 +136,66 @@ def make_cache_state_func(config: EngineConfig = DEFAULT_CONFIG, ttl_ms: int = 0
                 dtypes[i] = ent[1]
                 ent[2] = now_ms  # access refreshes recency
                 continue
-            # MISS: compute once, insert (service.rs:312-322).
+            j = first_of.get(cache_keys[i])
+            if j is None:
+                first_of[cache_keys[i]] = i
+            else:
+                dup_of[i] = j
+
+        # Pass 2 — MISS rows batched by (ops, n, src_dtype) through the
+        # RECT kernel (the transform_arrow bucketing pattern): a cold cache
+        # or miss storm pays vectorized cost, never per-row Python
+        # (service.rs:312-322 compute-and-insert).
+        miss_groups: dict[tuple, list[int]] = {}
+        for ck, i in first_of.items():
+            miss_groups.setdefault(
+                (ops_col[i], len(tokens_col[i]), sdt_col[i]), []
+            ).append(i)
+        for (ops_str, length, sdt), idx_list in miss_groups.items():
+            idx = np.asarray(idx_list, dtype=np.int64)
+            plan = _plan_for(ops_str, config)
+            if isinstance(plan, OptionParseError):
+                statuses[idx] = "ERROR"
+                errors[idx] = str(plan)
+                continue
+            mat = (
+                np.vstack([np.asarray(tokens_col[i], dtype=np.int64) for i in idx])
+                if length > 0
+                else np.empty((len(idx), 0), dtype=np.int64)
+            )
             try:
-                plan = _plan_for(ops_col[i], config)
-                if isinstance(plan, OptionParseError):
-                    raise plan
-                result = apply_plan(
-                    np.asarray(tokens_col[i], dtype=np.int64),
+                result = apply_plan_rect(
+                    mat,
                     plan,
-                    orientation=int(ori_col[i]),
-                    src_dtype=str(sdt_col[i]),
+                    orientations=np.asarray(ori_col[idx], dtype=np.int64),
+                    src_dtype=str(sdt),
                     default_format=config.default_format,
                 )
             except (OptionParseError, TransformError) as exc:
-                statuses[i] = "ERROR"
-                errors[i] = str(exc)
+                statuses[idx] = "ERROR"
+                errors[idx] = str(exc)
                 continue
-            cached = [int(x) for x in result.tokens]
-            entries[cache_keys[i]] = [cached, result.dtype, now_ms]
-            statuses[i] = "MISS"
-            toks_out[i] = cached
-            n_out[i] = len(cached)
-            dtypes[i] = result.dtype
+            width = result.tokens.shape[1]
+            for row_pos, i in enumerate(idx):
+                cached = result.tokens[row_pos].tolist()
+                entries[cache_keys[i]] = [cached, result.dtype, now_ms]
+                statuses[i] = "MISS"
+                toks_out[i] = cached
+                n_out[i] = width
+                dtypes[i] = result.dtype
+
+        # Pass 3 — duplicates serve their computing row's result (HIT, like
+        # a state hit) or replay its error.
+        for i in np.nonzero(dup_of >= 0)[0]:
+            j = dup_of[i]
+            if statuses[j] == "ERROR":
+                statuses[i] = "ERROR"
+                errors[i] = errors[j]
+                continue
+            statuses[i] = "HIT"
+            toks_out[i] = toks_out[j]
+            n_out[i] = n_out[j]
+            dtypes[i] = dtypes[j]
 
         if entries:
             ks = list(entries.keys())

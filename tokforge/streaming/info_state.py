@@ -41,7 +41,8 @@ from pyspark.sql.types import (
 
 from tokforge.engine.config import DEFAULT_CONFIG, EngineConfig
 from tokforge.engine.transform import _plan_for
-from tokforge.operators.kernel import TransformError, apply_plan
+from tokforge.operators.kernel import TransformError
+from tokforge.operators.kernel_rect import apply_plan_rect
 from tokforge.plans.options import OptionParseError
 
 INFO_OUTPUT_SCHEMA = StructType(
@@ -112,6 +113,11 @@ def make_info_state_func(config: EngineConfig = DEFAULT_CONFIG, ttl_ms: int = 0)
         sizes = np.zeros(m, dtype=np.int64)
         errors = np.full(m, None, dtype=object)
 
+        # Same three-pass shape as cache_state.py: classify in event-time
+        # order, batch the MISS rows through the RECT kernel grouped by
+        # (ops, n, src_dtype), then fill duplicates — no per-row kernel.
+        first_of: dict = {}  # doc_id -> computing row index
+        dup_of = np.full(m, -1, dtype=np.int64)
         for i in order:
             ent = entries.get(doc_ids[i])
             if ent is not None:
@@ -119,25 +125,56 @@ def make_info_state_func(config: EngineConfig = DEFAULT_CONFIG, ttl_ms: int = 0)
                 n_out[i], dtypes[i], sizes[i] = ent[0], ent[1], ent[2]
                 ent[3] = now_ms
                 continue
+            j = first_of.get(doc_ids[i])
+            if j is None:
+                first_of[doc_ids[i]] = i
+            else:
+                dup_of[i] = j
+
+        miss_groups: dict[tuple, list[int]] = {}
+        for _doc, i in first_of.items():
+            miss_groups.setdefault(
+                (ops_col[i], len(tokens_col[i]), sdt_col[i]), []
+            ).append(i)
+        for (ops_str, length, sdt), idx_list in miss_groups.items():
+            idx = np.asarray(idx_list, dtype=np.int64)
+            plan = _plan_for(ops_str, config)
+            if isinstance(plan, OptionParseError):
+                statuses[idx] = "ERROR"
+                errors[idx] = str(plan)
+                continue
+            mat = (
+                np.vstack([np.asarray(tokens_col[i], dtype=np.int64) for i in idx])
+                if length > 0
+                else np.empty((len(idx), 0), dtype=np.int64)
+            )
             try:
-                plan = _plan_for(ops_col[i], config)
-                if isinstance(plan, OptionParseError):
-                    raise plan
-                result = apply_plan(
-                    np.asarray(tokens_col[i], dtype=np.int64),
+                result = apply_plan_rect(
+                    mat,
                     plan,
-                    orientation=int(ori_col[i]),
-                    src_dtype=str(sdt_col[i]),
+                    orientations=np.asarray(ori_col[idx], dtype=np.int64),
+                    src_dtype=str(sdt),
                     default_format=config.default_format,
                 )
             except (OptionParseError, TransformError) as exc:
-                statuses[i] = "ERROR"
-                errors[i] = str(exc)
+                statuses[idx] = "ERROR"
+                errors[idx] = str(exc)
                 continue
-            ent = [int(result.tokens.shape[0]), result.dtype, int(result.size_bytes), now_ms]
-            entries[doc_ids[i]] = ent
-            statuses[i] = "MISS"
-            n_out[i], dtypes[i], sizes[i] = ent[0], ent[1], ent[2]
+            width = int(result.tokens.shape[1])
+            for row_pos, i in enumerate(idx):
+                ent = [width, result.dtype, int(result.size_bytes[row_pos]), now_ms]
+                entries[doc_ids[i]] = ent
+                statuses[i] = "MISS"
+                n_out[i], dtypes[i], sizes[i] = ent[0], ent[1], ent[2]
+
+        for i in np.nonzero(dup_of >= 0)[0]:
+            j = dup_of[i]
+            if statuses[j] == "ERROR":
+                statuses[i] = "ERROR"
+                errors[i] = errors[j]
+                continue
+            statuses[i] = "HIT"
+            n_out[i], dtypes[i], sizes[i] = n_out[j], dtypes[j], sizes[j]
 
         if entries:
             ks = list(entries.keys())

@@ -121,6 +121,37 @@ def info_stream(
     return writer.start(), sink
 
 
+def ratelimit_stream(
+    spark: SparkSession,
+    in_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    capacity: float = 3.0,
+    refill_per_sec: float = 0.25,
+    watermark: str = "10 minutes",
+    available_now: bool = True,
+):
+    """The per-source token-bucket admission pipeline (reference:
+    middleware.rs:38-51, app.rs:136-156) into its own exactly-once sink.
+    Event-time refill only — replays are byte-identical.  Returns
+    (query, sink)."""
+    from tokforge.streaming.ratelimit import with_rate_limit
+
+    stream = read_request_stream(spark, in_path).withWatermark("ts", watermark)
+    limited = with_rate_limit(stream, capacity, refill_per_sec)
+    sink = IdempotentParquetSink(out_dir)
+    writer = (
+        limited.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="1 second")
+    return writer.start(), sink
+
+
 def tumbling_rate_query(
     spark: SparkSession,
     in_path: str,

@@ -146,8 +146,76 @@ SELECT doc_id,
 FROM req"""
 
 
+_RL_CAPACITY = 3.0
+_RL_REFILL = 0.25  # tokens per EVENT-TIME second; dyadic so doubles stay exact
+
+
+def q_stream_ratelimit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful event-time token bucket (reference middleware.rs:38-51)
+    run as a REAL stream: per source, the bucket starts at capacity 3,
+    refills 0.25 tokens per event-time second, each admitted request takes
+    one token.  All bucket arithmetic is dyadic-exact (whole-second
+    timestamps x 0.25), so `tokens_after` is hash-comparable to the
+    oracle's recursive simulation bit-for-bit.  One coalesced input drop ->
+    one micro-batch, so processing order per source is the (ts, doc_id)
+    event-time order the oracle replays."""
+    from tokforge.streaming.job import ratelimit_stream, read_sink
+
+    tmp = tempfile.mkdtemp(prefix="tokforge-q-stream-rl-")
+    req = requests_df(spark, sf_dir, _CHAIN)
+    req.coalesce(1).write.mode("append").parquet(f"{tmp}/in/drop=0")
+    query, _ = ratelimit_stream(
+        spark,
+        f"{tmp}/in",
+        f"{tmp}/out",
+        f"{tmp}/ckpt",
+        capacity=_RL_CAPACITY,
+        refill_per_sec=_RL_REFILL,
+        available_now=True,
+    )
+    _drain(query)
+    out = read_sink(spark, f"{tmp}/out")
+    return out.select("source", "doc_id", "admitted", "tokens_after")
+
+
+# Exact replay of the bucket as a recursive CTE: rows per source advance in
+# (ts, doc_id) order carrying (tokens_after) forward; refill is
+# least(capacity, tokens + elapsed_s * refill).  Every quantity is an exact
+# dyadic double, so this matches the kernel's float64 math bit-for-bit.
+SQL_STREAM_RATELIMIT = f"""WITH RECURSIVE {sql_requests_cte()},
+ordered AS (
+  SELECT source, doc_id,
+         CAST(doc_num % 7200 AS DOUBLE) AS t_s,
+         row_number() OVER (PARTITION BY source ORDER BY ts, doc_id) AS rn
+  FROM req
+),
+sim AS (
+  SELECT source, doc_id, t_s, rn,
+         TRUE AS admitted,
+         CAST('{_RL_CAPACITY!r}' AS DOUBLE) - CAST('1.0' AS DOUBLE) AS tokens_after
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.source, o.doc_id, o.t_s, o.rn,
+         least(CAST('{_RL_CAPACITY!r}' AS DOUBLE),
+               s.tokens_after + (o.t_s - s.t_s) * CAST('{_RL_REFILL!r}' AS DOUBLE))
+           >= CAST('1.0' AS DOUBLE) AS admitted,
+         CASE WHEN least(CAST('{_RL_CAPACITY!r}' AS DOUBLE),
+                         s.tokens_after + (o.t_s - s.t_s) * CAST('{_RL_REFILL!r}' AS DOUBLE))
+                   >= CAST('1.0' AS DOUBLE)
+              THEN least(CAST('{_RL_CAPACITY!r}' AS DOUBLE),
+                         s.tokens_after + (o.t_s - s.t_s) * CAST('{_RL_REFILL!r}' AS DOUBLE))
+                   - CAST('1.0' AS DOUBLE)
+              ELSE least(CAST('{_RL_CAPACITY!r}' AS DOUBLE),
+                         s.tokens_after + (o.t_s - s.t_s) * CAST('{_RL_REFILL!r}' AS DOUBLE))
+         END AS tokens_after
+  FROM sim s JOIN ordered o ON o.source = s.source AND o.rn = s.rn + 1
+)
+SELECT source, doc_id, admitted, tokens_after FROM sim"""
+
+
 STREAMING_QUERIES = {
     "stream_cache_counts": (q_stream_cache_counts, SQL_STREAM_CACHE_COUNTS),
     "stream_window_tumbling": (q_stream_tumbling, SQL_STREAM_TUMBLING),
     "stream_info_cache": (q_stream_info_cache, SQL_STREAM_INFO_CACHE),
+    "stream_ratelimit": (q_stream_ratelimit, SQL_STREAM_RATELIMIT),
 }
