@@ -147,7 +147,11 @@ def bench_stream_cache(spark, sf_dir, cfg):
         ).write.mode("append").parquet(f"{tmp}/in/drop={i}")
 
     best = None
-    for it in range(3):  # iteration 0 = untimed warm-up
+    # iterations 0-1 = untimed warm-up: the state-stage python workers
+    # fault in the rect kernel + numpy pages on FIRST use and this sandbox
+    # faults at 20-70 MB/s — measured 11.5s -> 5.6s -> 3.2s across the
+    # first three identical runs, so one warm-up pass is not enough
+    for it in range(4):
         t0 = time.time()
         query, _ = transform_stream(
             spark,
@@ -163,7 +167,7 @@ def bench_stream_cache(spark, sf_dir, cfg):
             F.count("*").alias("n"), F.sum("n_out").alias("tokens_out")
         ).collect()[0]
         dt = time.time() - t0
-        if it == 0:
+        if it < 2:
             continue
         if best is None or dt < best[0]:
             best = (dt, int(sunk["n"]), int(sunk["tokens_out"]))

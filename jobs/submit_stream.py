@@ -52,7 +52,10 @@ def main() -> None:
         args.input,
         args.output,
         args.checkpoint,
-        EngineConfig(),
+        # deployment config from TOKFORGE_* env (the IMGFORGE_* surface,
+        # reference config.rs:224-286): keys/salt, presets, caps, bearer,
+        # dtype allowlist; CLI flags cover the job wiring only
+        EngineConfig.from_env(),
         verify=not args.no_verify,
         ttl_ms=args.ttl_ms,
         watermark=args.watermark,

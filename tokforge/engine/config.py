@@ -41,5 +41,62 @@ class EngineConfig:
     def presets_dict(self) -> dict[str, str]:
         return dict(self.presets)
 
+    @classmethod
+    def from_env(cls, env: "dict[str, str] | None" = None) -> "EngineConfig":
+        """Build a config from TOKFORGE_* environment variables — the
+        deployment surface the reference exposes as IMGFORGE_* env config
+        (reference: config.rs:224-286).  Unset variables keep the dataclass
+        defaults; booleans accept 1/true/yes (case-insensitive); presets
+        use the reference's `name=chain;name2=chain2` shape
+        (config.rs presets parsing); the dtype allowlist is a CSV."""
+        import os
+
+        e = os.environ if env is None else env
+
+        def _bool(name: str, default: bool) -> bool:
+            v = e.get(name)
+            if v is None:
+                return default
+            return v.strip().lower() in ("1", "true", "yes")
+
+        presets: tuple[tuple[str, str], ...] = ()
+        if e.get("TOKFORGE_PRESETS"):
+            presets = tuple(
+                (p.split("=", 1)[0].strip(), p.split("=", 1)[1].strip())
+                for p in e["TOKFORGE_PRESETS"].split(";")
+                if "=" in p
+            )
+        allowed = None
+        if e.get("TOKFORGE_ALLOWED_SRC_DTYPES"):
+            allowed = tuple(
+                s.strip().lower()
+                for s in e["TOKFORGE_ALLOWED_SRC_DTYPES"].split(",")
+                if s.strip()
+            )
+        d = EngineConfig()  # defaults
+        return cls(
+            key_hex=e.get("TOKFORGE_KEY", d.key_hex),
+            salt_hex=e.get("TOKFORGE_SALT", d.salt_hex),
+            allow_unsigned=_bool("TOKFORGE_ALLOW_UNSAFE_URL", d.allow_unsigned),
+            presets=presets or d.presets,
+            only_presets=_bool("TOKFORGE_ONLY_PRESETS", d.only_presets),
+            default_format=e.get("TOKFORGE_DEFAULT_FORMAT", d.default_format),
+            allow_security_options=_bool(
+                "TOKFORGE_ALLOW_SECURITY_OPTIONS", d.allow_security_options
+            ),
+            max_src_file_size=(
+                int(e["TOKFORGE_MAX_SRC_FILE_SIZE"])
+                if e.get("TOKFORGE_MAX_SRC_FILE_SIZE")
+                else d.max_src_file_size
+            ),
+            max_src_resolution=(
+                float(e["TOKFORGE_MAX_SRC_RESOLUTION"])
+                if e.get("TOKFORGE_MAX_SRC_RESOLUTION")
+                else d.max_src_resolution
+            ),
+            bearer_token=e.get("TOKFORGE_BEARER_TOKEN", d.bearer_token),
+            allowed_src_dtypes=allowed if allowed is not None else d.allowed_src_dtypes,
+        )
+
 
 DEFAULT_CONFIG = EngineConfig()

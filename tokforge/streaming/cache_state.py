@@ -42,6 +42,7 @@ from pyspark.sql.types import (
 
 from tokforge.engine.config import DEFAULT_CONFIG, EngineConfig
 from tokforge.engine.transform import _plan_for, cache_key_col
+from tokforge.operators.alloc import tune_allocator  # noqa: F401 - worker mallopt
 from tokforge.operators.kernel import TransformError
 from tokforge.operators.kernel_rect import apply_plan_rect
 from tokforge.plans.options import OptionParseError
