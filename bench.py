@@ -64,12 +64,12 @@ def bench_transform(spark, sf_dir, cfg, chain, verify):
     from tokforge.engine.transform_arrow import transform_requests_arrow
 
     best = None
-    # untimed warm-up, then best-of-3: the sandbox's first-touch page
+    # untimed warm-up, then best-of-5: the sandbox's first-touch page
     # faults are 20-70 MB/s and timing windows vary up to 3x — only the
     # warmed steady state (a long-running executor's profile) compares
     out = transform_requests_arrow(req, cfg, verify=verify)
     out.agg(F.count("*")).collect()
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         out = transform_requests_arrow(req, cfg, verify=verify)
         row = out.agg(

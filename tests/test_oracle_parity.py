@@ -59,7 +59,7 @@ _BASE_CHAINS = [
     "expires:1704070800/crop:10:0/format:int32",
     "format_quality:int16:40:uint8:90",  # __src__ per-row format_quality
     # resizing algorithms (reference doc/5.1): linear/cubic interpolated
-    # resamples, lanczos aliases, up- and down-scale paths
+    # resamples, true windowed-sinc lanczos, up- and down-scale paths
     "resize:fit:200:0:1/resizing_algorithm:linear/format:png",
     "resize:fill:0:60:1/ra:linear/format:png",
     "resize:fit:200:0:1/ra:cubic/format:png",
@@ -67,6 +67,10 @@ _BASE_CHAINS = [
     "zoom:0.4/ra:linear/format:png",
     "min-width:150/ra:lanczos3/format:int32",
     "resize:fit:90:0:1/ra:lanczos2/quality:60/format:jpeg",
+    "zoom:2.3/ra:lanczos3/format:png",  # pure-lanczos upsample
+    "zoom:0.37/ra:lanczos2/format:int32",  # lanczos downsample
+    "resize:force:73:0:1/ra:lanczos3/min-width:110/format:png",  # two lanczos sites
+    "resize:fit:100:0:1/format:png",  # DEFAULT ra = lanczos3 (no alias)
     # hypothesis-found regressions
     "quality:1/format:jpeg/max_bytes:8",  # single-candidate walk-down
     "quality:13/format:gif/max_bytes:40",  # lossless walk-down w/ dtype rule

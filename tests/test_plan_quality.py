@@ -163,3 +163,16 @@ def test_lsh_candidate_density_is_scale_free(spark):
     # scale-free bound: 16x the corpus may not even triple the density
     # (a J^2-style regression multiplies it ~30-100x on this fixture)
     assert dens[16] <= 3 * dens[1], dens
+
+
+def test_admission_policy_filter_is_jvm_side_and_shuffle_free(spark):
+    """The bearer gate must collapse to a JVM-side scan filter (Catalyst
+    folds the constant bearer comparison into a doc_id predicate pushed
+    into the parquet scan) and the whole query stays one MapInArrow pass —
+    admission never pays a shuffle or a Python crossing of its own."""
+    from tokforge.engine.queries import q_admission_policy
+
+    plan = plan_of(q_admission_policy(spark, SF_SMALL))
+    assert "Exchange" not in plan
+    assert "MapInArrow" in plan
+    assert "PushedFilters" in plan or "DataFilters" in plan

@@ -128,3 +128,18 @@ def test_bearer_gate_filters_rows(spark):
     out = transform_requests_arrow(req, cfg, verify=False)
     docs = [int(r["doc_id"]) for r in out.select("doc_id").collect()]
     assert docs and all(d % 2 == 0 for d in docs)
+
+
+def test_batch_cache_hit_miss_analog(spark):
+    """The batch HIT/MISS analog (formerly driver-gated; the slot now gates
+    the stream-stream join): 3 event-time replicas per key -> exactly one
+    MISS (the earliest) and two HITs per document."""
+    from tokforge.engine.queries import q_cache_hit_miss
+
+    rows = q_cache_hit_miss(spark, SF_SMALL).collect()
+    per_doc: dict = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append((r["rep"], r["cache_status"]))
+    for doc, pairs in per_doc.items():
+        statuses = dict(pairs)
+        assert statuses == {0: "MISS", 1: "HIT", 2: "HIT"}, (doc, statuses)

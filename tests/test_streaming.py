@@ -625,8 +625,14 @@ def test_observe_metrics_listener(spark, tmp_path):
         req.write.mode("append").parquet(f"{in_path}/drop=0")
         query, _ = transform_stream(spark, in_path, out_dir, ckpt, CFG, verify=False)
         _finish(query)
-        time.sleep(1)
-        metrics = [m for m in listener.observed if m["name"] == "request_metrics"]
+        # listener events arrive on an async bus thread; poll with a bound
+        # instead of a fixed sleep (a loaded box can lag them by seconds)
+        metrics: list = []
+        for _ in range(120):
+            metrics = [m for m in listener.observed if m["name"] == "request_metrics"]
+            if metrics and sum(m["n_rows"] or 0 for m in metrics) == 8:
+                break
+            time.sleep(0.25)
         # empty scheduling batches report zero rows; sum across the run
         assert metrics
         assert sum(m["n_rows"] or 0 for m in metrics) == 8

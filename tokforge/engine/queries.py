@@ -573,7 +573,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["window_session"] = q_window_session
     q["ratelimit_admission"] = q_ratelimit_admission
     q["metrics_by_source"] = q_metrics_by_source
-    q["cache_hit_miss"] = q_cache_hit_miss
+    # cache HIT/MISS is driver-gated via the REAL stream (stream_cache_counts);
+    # the batch analog q_cache_hit_miss stays pytest-covered, its slot now
+    # gates the stream-stream invalidation join (north rule 'stateful join')
     q["topk_longest"] = q_topk_longest
     q["info"] = q_info
     for name, (fn, _sql) in _pipeline_registry().items():
@@ -594,7 +596,6 @@ def oracle_sql() -> dict[str, str]:
     o["window_session"] = SQL_WINDOW_SESSION
     o["ratelimit_admission"] = SQL_RATELIMIT_ADMISSION
     o["metrics_by_source"] = SQL_METRICS_BY_SOURCE
-    o["cache_hit_miss"] = SQL_CACHE_HIT_MISS
     o["topk_longest"] = _sql_topk_longest()
     o["info"] = _sql_info()
     for name, (_fn, sql) in _pipeline_registry().items():

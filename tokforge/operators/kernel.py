@@ -121,6 +121,15 @@ LANCZOS_PI = 3.141592653589793
 LANCZOS_A = {"lanczos2": 2, "lanczos3": 3}
 
 
+# Weights/taps depend only on (n, target, a) and n cycles over a tiny
+# length ladder in real streams, so the sin evaluations amortize to ~zero:
+# the memo turns every repeated lanczos resample into a pure gather +
+# weighted sum.  Entries are ~2a small float64 arrays; the cap bounds
+# worker memory.  Callers treat the returned arrays as read-only.
+_LANCZOS_MEMO: dict[tuple[int, int, int], tuple[list, list]] = {}
+_LANCZOS_MEMO_CAP = 512
+
+
 def lanczos_taps(
     n: int, lo: np.ndarray, frac: np.ndarray, a: int
 ) -> tuple[list[np.ndarray], list[np.ndarray]]:
@@ -134,7 +143,15 @@ def lanczos_taps(
     oracle.  Callers must normalize by the weight sum and special-case
     frac == 0 (x = 0 yields 0/0 here; the exact semantics there is the
     identity tap t[lo]).  Raw (un-normalized) weights are returned so the
-    normalizing division happens once, not per tap."""
+    normalizing division happens once, not per tap.
+
+    Memoized on (n, len(frac), a): the arrays are pure functions of the
+    geometry, never of token values (caching returns the SAME doubles, so
+    bit-exactness is unaffected)."""
+    key = (n, len(frac), a)
+    hit = _LANCZOS_MEMO.get(key)
+    if hit is not None:
+        return hit
     A = float(a)
     weights = []
     taps = []
@@ -146,6 +163,9 @@ def lanczos_taps(
             s2 = np.sin(px / A)
             weights.append((A * s1) * s2 / (px * px))
             taps.append(np.clip(lo + j, 0, n - 1))
+    if len(_LANCZOS_MEMO) >= _LANCZOS_MEMO_CAP:
+        _LANCZOS_MEMO.clear()
+    _LANCZOS_MEMO[key] = (weights, taps)
     return weights, taps
 
 

@@ -213,9 +213,76 @@ sim AS (
 SELECT source, doc_id, admitted, tokens_after FROM sim"""
 
 
+def q_stream_join_invalidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked STREAM-STREAM JOIN (north rule 'stateful join'):
+    request stream left-joins a purge-event stream on cache_key within a
+    10-minute event-time band (streaming/join.py; reference cache purge
+    surface, cache.rs insert/remove).  Deterministic purge layout:
+    doc%3==0 gets TWO in-band purges (ts-300, ts-120 — multiplicity must
+    collapse to the max), doc%3==1 one out-of-band purge (ts-1200),
+    doc%3==2 none.  Future sentinels advance both watermarks so unmatched
+    left rows finalize before the sink is read."""
+    from tokforge.engine.transform import cache_key_col
+    from tokforge.streaming.job import read_sink
+    from tokforge.streaming.join import invalidation_stream
+
+    tmp = tempfile.mkdtemp(prefix="tokforge-q-stream-join-")
+    req = requests_df(spark, sf_dir, _CHAIN)
+    req.coalesce(1).write.mode("append").parquet(f"{tmp}/in/drop=0")
+    keyed = req.withColumn("cache_key", cache_key_col())
+    d = F.col("doc_id").cast("long")
+    purges = keyed.filter(d % 3 < 2).select(
+        "cache_key",
+        F.when(d % 3 == 0, F.unix_timestamp("ts") - 300)
+        .otherwise(F.unix_timestamp("ts") - 1200)
+        .cast("timestamp")
+        .alias("purge_ts"),
+    )
+    dup = keyed.filter(d % 3 == 0).select(
+        "cache_key",
+        (F.unix_timestamp("ts") - 120).cast("timestamp").alias("purge_ts"),
+    )
+    purges.union(dup).coalesce(1).write.mode("append").parquet(f"{tmp}/purge/drop=0")
+    q1, _ = invalidation_stream(
+        spark, f"{tmp}/in", f"{tmp}/purge", f"{tmp}/out", f"{tmp}/ckpt"
+    )
+    _drain(q1)
+    sent = (
+        req.limit(1)
+        .withColumn("ts", (F.unix_timestamp("ts") + 864000).cast("timestamp"))
+        .withColumn("doc_id", F.lit("__sentinel__"))
+    )
+    sent.write.mode("append").parquet(f"{tmp}/in/drop=1")
+    purges.limit(1).withColumn(
+        "purge_ts", (F.unix_timestamp("purge_ts") + 864000).cast("timestamp")
+    ).write.mode("append").parquet(f"{tmp}/purge/drop=1")
+    q2, _ = invalidation_stream(
+        spark, f"{tmp}/in", f"{tmp}/purge", f"{tmp}/out", f"{tmp}/ckpt"
+    )
+    _drain(q2)
+    out = read_sink(spark, f"{tmp}/out").filter(F.col("doc_id") != "__sentinel__")
+    return out.select(
+        "doc_id",
+        "cache_bypass",
+        F.unix_timestamp("purge_ts").alias("purge_ts_s"),
+    )
+
+
+SQL_STREAM_JOIN_INVALIDATION = f"""WITH {sql_requests_cte()}
+SELECT doc_id,
+       (doc_num % 3 = 0) AS cache_bypass,
+       CASE WHEN doc_num % 3 = 0 THEN CAST(epoch(ts) AS BIGINT) - 120
+            ELSE NULL END AS purge_ts_s
+FROM req"""
+
+
 STREAMING_QUERIES = {
     "stream_cache_counts": (q_stream_cache_counts, SQL_STREAM_CACHE_COUNTS),
     "stream_window_tumbling": (q_stream_tumbling, SQL_STREAM_TUMBLING),
     "stream_info_cache": (q_stream_info_cache, SQL_STREAM_INFO_CACHE),
     "stream_ratelimit": (q_stream_ratelimit, SQL_STREAM_RATELIMIT),
+    "stream_join_invalidation": (
+        q_stream_join_invalidation,
+        SQL_STREAM_JOIN_INVALIDATION,
+    ),
 }
