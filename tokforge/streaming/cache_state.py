@@ -10,9 +10,11 @@ transform path does 27M tokens/s).  Instead the key space is hashed into
 (parallel arrays), so one invocation serves ~rows/buckets requests and
 the per-group overhead amortizes away — measured 6x end-to-end sustained
 speedup at 720k keys (149.7s -> 24.8s for the full pipeline; the state
-op itself ~40x).  Bucket count bounds entry-list size; TTL evicts entries
-(processing-time, like the LRU's expiry) and idle buckets drop whole via
-the group timeout.
+op itself ~40x).  Batching each bucket's MISS rows through the rect
+kernel (instead of per-row apply_plan) bought a further 3.4x on the same
+layout (24.8s -> 7.1s warmed, ~2.5M tokens served/s — BENCH.md).  Bucket
+count bounds entry-list size; TTL evicts entries (processing-time, like
+the LRU's expiry) and idle buckets drop whole via the group timeout.
 
 Within a micro-batch, rows for a key are processed in event-time order:
 the first computes (MISS) and inserts; every later row — same batch or a

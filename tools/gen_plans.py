@@ -42,6 +42,15 @@ nested-loop/cartesian here would mean the blocking key fell out), the
 B side explodes to bits+1 probe rows, distinct before the threshold
 filter.""", fmt(q_embed_near_dup(spark, SF))))
 
+from tokforge.engine.queries import q_admission_policy
+sections.append(("admission_policy (bearer + MIME + skip_processing)",
+"""What to check: the constant bearer comparison is folded by Catalyst
+into a doc_id predicate that reaches the scan (`PushedFilters` /
+`DataFilters`), so rejected rows never leave the parquet reader; the
+whole composite is still ONE `MapInArrow` pass with zero `Exchange` —
+admission adds no shuffle and no extra Python crossing.""",
+fmt(q_admission_policy(spark, SF))))
+
 from tokforge.pipeline.dedup import q_ngram_jaccard
 sections.append(("dedup_ngram_jaccard (verify-after-LSH)",
 """What to check: the Jaccard stage joins the LSH candidate pairs to the
