@@ -33,6 +33,12 @@ def main() -> None:
     parser.add_argument("--continuous", action="store_true",
                         help="run forever (processingTime trigger) instead of availableNow")
     parser.add_argument("--max-files-per-trigger", type=int, default=None)
+    parser.add_argument(
+        "--partition-by",
+        default="",
+        help="comma-separated sink partition columns (hidden-partitioning "
+        "analog, e.g. 'source'); read back with read_sink(partitioned=True)",
+    )
     args = parser.parse_args()
 
     from pyspark.sql import SparkSession
@@ -61,6 +67,9 @@ def main() -> None:
         watermark=args.watermark,
         available_now=not args.continuous,
         max_files_per_trigger=args.max_files_per_trigger,
+        partition_cols=tuple(
+            c.strip() for c in args.partition_by.split(",") if c.strip()
+        ),
     )
     query.awaitTermination()
     for p in listener.progress:

@@ -684,3 +684,34 @@ def test_rejected_rows_dead_letter_sink(spark, tmp_path):
     assert all(d % 2 == 1 for d in acc_ids) and all(d % 2 == 0 for d in rej_ids)
     assert len(acc_ids) + len(rej_ids) == 10
     assert rejected.select("status").distinct().collect()[0][0] == "403"
+
+
+def test_partitioned_sink_commits_and_prunes(spark, tmp_path):
+    """Hidden-partitioning analog: a sink built with partition_cols writes
+    data/batch_id=N/source=S/... directories; partition discovery recovers
+    batch_id + source, the footer-count ledger still matches, replays stay
+    no-ops, and a filter on the partition column prunes at planning time
+    (PartitionFilters in the scan)."""
+    import json as _json
+
+    from tokforge.streaming.job import read_sink
+    from tokforge.streaming.sink import IdempotentParquetSink
+
+    out_dir = str(tmp_path / "out")
+    sink = IdempotentParquetSink(out_dir, partition_cols=("source",))
+    batch = _signed_requests(spark, limit=12).select("doc_id", "source", "n_tok")
+    sink(batch, 0)
+    sink(batch, 0)  # replay -> no-op
+    assert sink.skipped_replays == 1
+    marker = _json.load(open(f"{out_dir}/_ledger/batch-0.json"))
+    assert marker["rows"] == 12
+
+    back = read_sink(spark, out_dir, partitioned=True)
+    assert back.count() == 12
+    assert set(back.columns) >= {"doc_id", "source", "n_tok", "batch_id", "partition_id"}
+    assert back.select("batch_id").distinct().collect()[0][0] == 0
+
+    one_source = back.filter(F.col("source") == batch.select("source").first()[0])
+    plan = one_source._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "source" in plan
+    assert one_source.count() >= 1

@@ -34,8 +34,12 @@ def transform_stream(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     rejected_dir: str | None = None,
+    partition_cols: tuple[str, ...] = (),
 ):
     """The flagship streaming pipeline.  Returns (query, sink).
+
+    ``partition_cols`` (e.g. ("source",)) turns on hidden-partitioned
+    commits in the sink — read back with read_sink(..., partitioned=True).
 
     When ``rejected_dir`` is given, signature-rejected rows are routed to
     their own exactly-once sink (the 403-response analog,
@@ -73,7 +77,7 @@ def transform_stream(
         stream = stream.filter(F.col("sig_valid"))
     cached = with_cache_state(stream, config, ttl_ms)
     cached = observe_requests(cached)
-    sink = IdempotentParquetSink(out_dir)
+    sink = IdempotentParquetSink(out_dir, partition_cols=partition_cols)
     # the dead-letter handles ride on the sink so the 2-tuple call shape
     # stays stable for every caller while the channel remains observable
     sink.rejected_query = rejected_query
@@ -219,5 +223,13 @@ def session_burst_query(
     )
 
 
-def read_sink(spark: SparkSession, out_dir: str) -> DataFrame:
+def read_sink(spark: SparkSession, out_dir: str, partitioned: bool = False) -> DataFrame:
+    """Read a sink's committed data.  ``partitioned=True`` (for sinks built
+    with partition_cols) uses partition DISCOVERY so batch_id and the
+    partition columns come from the directory layout — and filters on them
+    prune whole directories instead of scanning files."""
+    if partitioned:
+        return spark.read.option("basePath", f"{out_dir}/data").parquet(
+            f"{out_dir}/data"
+        )
     return spark.read.option("recursiveFileLookup", "true").parquet(f"{out_dir}/data")

@@ -31,10 +31,19 @@ def lineage_columns(df: DataFrame, batch_id: int) -> DataFrame:
 
 
 class IdempotentParquetSink:
-    """foreachBatch target with a batchId ledger for exactly-once commits."""
+    """foreachBatch target with a batchId ledger for exactly-once commits.
 
-    def __init__(self, out_dir: str):
+    ``partition_cols`` adds Iceberg-style hidden partitioning to the
+    commit layout: each batch writes `data/batch_id=N/<col>=<v>/...`, so
+    downstream reads prune partitions on those columns (the stand-in for
+    Iceberg's `days(ts)` / `bucket(N, source)` transforms at 10^12-row
+    scale).  Partitioned sinks are read back with partition DISCOVERY
+    (``read_sink(..., partitioned=True)``) — batch_id then comes from the
+    directory, not a data column, so the two never conflict."""
+
+    def __init__(self, out_dir: str, partition_cols: tuple[str, ...] = ()):
         self.out_dir = out_dir
+        self.partition_cols = tuple(partition_cols)
         self.ledger_dir = os.path.join(out_dir, "_ledger")
         Path(self.ledger_dir).mkdir(parents=True, exist_ok=True)
         self.skipped_replays = 0
@@ -55,7 +64,14 @@ class IdempotentParquetSink:
         # single action on the streaming plan (a second one would re-run the
         # plan and double-fire observe metrics); row count comes from the
         # committed parquet FOOTERS — metadata-only, no second scan
-        out.write.mode("overwrite").parquet(path)
+        if self.partition_cols:
+            # batch_id lives in the directory name; partition discovery
+            # recovers it (a duplicate data column would collide with it)
+            out.drop("batch_id").write.mode("overwrite").partitionBy(
+                *self.partition_cols
+            ).parquet(path)
+        else:
+            out.write.mode("overwrite").parquet(path)
         n = self._footer_row_count(path)
         with open(self._marker(batch_id), "w") as fh:
             json.dump({"batch_id": batch_id, "rows": n, "committed_at": time.time()}, fh)
@@ -66,7 +82,7 @@ class IdempotentParquetSink:
 
         return sum(
             pq.ParquetFile(str(f)).metadata.num_rows
-            for f in Path(path).glob("*.parquet")
+            for f in Path(path).rglob("*.parquet")
         )
 
 
