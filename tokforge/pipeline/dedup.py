@@ -10,6 +10,7 @@ the Jaccard verifier only runs inside candidate buckets.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -43,28 +44,14 @@ SIMHASH_MULT = 2654435761
 SIMHASH_MOD = 2147483648
 
 
-def _shingle_expr_spark(tokens, n_tok):
-    """g(s) = ((t[s]*50261 + t[s+1]) % P * 50261 + t[s+2]) % P for s in
-    [0, n-3]; empty when n < 3."""
-    return F.when(
-        n_tok >= SHINGLE_K,
-        F.transform(
-            F.sequence(F.lit(0).cast("long"), (n_tok - SHINGLE_K).cast("long")),
-            lambda s: (
-                (
-                    (
-                        F.element_at(tokens, (s + 1).cast("int")).cast("long") * 50261
-                        + F.element_at(tokens, (s + 2).cast("int")).cast("long")
-                    )
-                    % P
-                    * 50261
-                    + F.element_at(tokens, (s + 3).cast("int")).cast("long")
-                )
-                % P
-            ),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-
+# (The round-1/2 Spark-expression shingle/minhash builders lived here; they
+# are superseded by the Arrow fast path below.  Two measured traps from
+# that era still bind anyone reintroducing HOF versions: eight separate
+# `array_min(transform(...))` columns make Catalyst inline the feature
+# expression into every column and codegen blows up superlinearly
+# (>390s vs ~5s at sf0.1); and an unmaterialized `tokens` expression gets
+# inlined into every element_at — O(n^2) per row, 50x slowdown.  See
+# CLAUDE.md and _materialized_requests.)
 
 _SQL_SHINGLES = (
     f"CASE WHEN n_tok >= {SHINGLE_K} THEN "
@@ -92,23 +79,124 @@ FROM documents
 GROUP BY 1"""
 
 
-def _sig_array(source_col: str) -> "F.Column":
-    """All N_HASHES minhashes as ONE array column via nested higher-order
-    functions.  Eight separate `array_min(transform(...))` columns make
-    Catalyst inline the (expensive) feature expression into every column
-    and the generated code blows up superlinearly — measured >390s vs ~5s
-    at sf0.1 for the same result."""
-    ab = F.array(
-        *[
-            F.struct(F.lit(A[j]).alias("a"), F.lit(B[j]).alias("b"))
-            for j in range(N_HASHES)
-        ]
+# ---------------------------------------------------------------------------
+# Arrow fast path for the hash lineage.  The HOF expressions above are the
+# REFERENCE semantics (and the oracle mirrors them), but Catalyst interprets
+# higher-order functions per element (~0.5M tokens/s measured) while the
+# engine's Arrow+numpy path does 30M+ — at 100 TB that constant is the
+# difference between a day and a month.  The numpy code reproduces the exact
+# integer arithmetic, so the DuckDB oracles are UNCHANGED and the driver
+# gate pins equality.
+# ---------------------------------------------------------------------------
+
+
+def _flat_tokens(batch):
+    """(values int64, row-of-token map, per-row lengths) from an Arrow batch."""
+    import pyarrow as pa
+
+    toks = batch.column("tokens")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = toks.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    lengths = np.diff(offsets)
+    rowmap = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+    return values, rowmap, lengths
+
+
+def _row_shingles(values: "np.ndarray", rowmap: "np.ndarray"):
+    """Flat 3-token rolling shingles + their row ids: g(s) =
+    ((t[s]*50261 + t[s+1]) % P * 50261 + t[s+2]) % P, windows never
+    crossing a row boundary (same g as _shingle_expr_spark)."""
+    if len(values) < SHINGLE_K:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    valid = rowmap[:-2] == rowmap[2:]
+    a, b, c = values[:-2][valid], values[1:-1][valid], values[2:][valid]
+    g = ((a * 50261 + b) % P * 50261 + c) % P
+    return g, rowmap[:-2][valid]
+
+
+def signatures_arrow(req: DataFrame, feature_space: int | None) -> DataFrame:
+    """doc_id + MinHash signature (array<long>, N_HASHES entries) via ONE
+    mapInArrow pass.  ``feature_space`` folds shingles into the coarse LSH
+    feature space first (min over the folded multiset == min over the
+    distinct set, so array_distinct is unnecessary here).  Rows with no
+    shingles (n_tok < 3) emit a NULL signature — the callers filter them."""
+    from typing import Iterator
+
+    import pyarrow as pa
+
+    def fn(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            m = batch.num_rows
+            values, rowmap, _ = _flat_tokens(batch)
+            g, g_rows = _row_shingles(values, rowmap)
+            if feature_space is not None:
+                g = g % feature_space
+            counts = np.bincount(g_rows, minlength=m)
+            seg = np.zeros(m + 1, dtype=np.int64)
+            np.cumsum(counts, out=seg[1:])
+            has = counts > 0
+            sig = np.empty((m, N_HASHES), dtype=np.int64)
+            for j in range(N_HASHES):
+                hj = (g * A[j] + B[j]) % P
+                if len(hj):
+                    mins = np.minimum.reduceat(hj, np.minimum(seg[:-1], len(hj) - 1))
+                    sig[:, j] = np.where(has, mins, 0)
+                else:
+                    sig[:, j] = 0
+            flat = sig[has].reshape(-1)
+            offs = np.zeros(m + 1, dtype=np.int32)
+            np.cumsum(np.where(has, N_HASHES, 0), out=offs[1:])
+            arr = pa.ListArray.from_arrays(
+                pa.array(offs, type=pa.int32()), pa.array(flat, type=pa.int64())
+            )
+            if not has.all():
+                import pyarrow.compute as pc
+
+                arr = pc.if_else(pa.array(has), arr, pa.nulls(m, type=arr.type))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), arr], names=["doc_id", "sig"]
+            )
+
+    return req.select("doc_id", "tokens").mapInArrow(
+        fn, "doc_id string, sig array<long>"
     )
-    return F.transform(
-        ab,
-        lambda p: F.array_min(
-            F.transform(F.col(source_col), lambda g: (g * p["a"] + p["b"]) % P)
-        ),
+
+
+def simhash_arrow(req: DataFrame) -> DataFrame:
+    """doc_id + 16-bit SimHash via one mapInArrow pass — identical bit
+    votes to the q_simhash expression (h = (x*MULT) % MOD, +-1 per bit,
+    majority > 0)."""
+    from typing import Iterator
+
+    import pyarrow as pa
+
+    def fn(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            m = batch.num_rows
+            values, rowmap, lengths = _flat_tokens(batch)
+            h = (values * SIMHASH_MULT) % SIMHASH_MOD
+            seg = np.zeros(m + 1, dtype=np.int64)
+            np.cumsum(lengths, out=seg[1:])
+            starts = np.minimum(seg[:-1], max(len(values) - 1, 0))
+            simhash = np.zeros(m, dtype=np.int64)
+            # one 1-D reduceat per bit (a 2-D axis-0 reduceat is ~100x
+            # slower); vote_b = 2*ones_b - n  >  0  <=>  majority of 1s
+            for bit in range(SIMHASH_BITS):
+                ones = (h >> bit) & 1
+                if len(ones):
+                    ones_per_row = np.add.reduceat(ones, starts)
+                    votes = 2 * ones_per_row - lengths
+                    votes[lengths == 0] = 0
+                    simhash += (votes > 0) * (1 << bit)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), pa.array(simhash, type=pa.int64())],
+                names=["doc_id", "simhash16"],
+            )
+
+    return req.select("doc_id", "tokens").mapInArrow(
+        fn, "doc_id string, simhash16 long"
     )
 
 
@@ -127,12 +215,10 @@ def _materialized_requests(
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc MinHash signature (8 hashes over 3-token shingles)."""
+    """Per-doc MinHash signature (8 hashes over 3-token shingles), computed
+    on the Arrow fast path (signatures_arrow)."""
     req = _materialized_requests(spark, sf_dir, "minhash")
-    sh = _shingle_expr_spark(F.col("tokens"), F.col("n_tok"))
-    df = req.select("doc_id", sh.alias("shingles")).select(
-        "doc_id", _sig_array("shingles").alias("sig")
-    )
+    df = signatures_arrow(req, feature_space=None)
     return df.select(
         "doc_id",
         *[F.element_at("sig", j + 1).alias(f"h{j}") for j in range(N_HASHES)],
@@ -163,14 +249,11 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str, replicas: int = 1) -> DataFram
     req = _materialized_requests(spark, sf_dir, "minhash", replicas).filter(
         F.col("n_tok") >= SHINGLE_K
     )
-    sh = _shingle_expr_spark(F.col("tokens"), F.col("n_tok"))
-    feats = F.array_distinct(F.transform(sh, lambda g: g % FEATURE_SPACE))
-    # second barrier: the sig exchange is computed once and REUSED on both
-    # sides of the self-join below (Spark's ReuseExchange)
-    sig = (
-        req.select("doc_id", feats.alias("feats"))
-        .select("doc_id", _sig_array("feats").alias("sig"))
-        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    # Arrow fast path computes the signature; the repartition barrier after
+    # it is the exchange REUSED on both sides of the self-join below
+    # (Spark's ReuseExchange)
+    sig = signatures_arrow(req, FEATURE_SPACE).repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     )
 
     def band_val(i):
@@ -250,18 +333,8 @@ def _sql_lsh_pairs() -> str:
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash over token ids: per-bit majority vote of hashed
-    features, computed entirely with built-in array aggregation."""
-    req = requests_df(spark, sf_dir, "simhash")
-    h = f"(CAST(x AS BIGINT) * {SIMHASH_MULT}) % {SIMHASH_MOD}"
-    bit_terms = []
-    for bit in range(SIMHASH_BITS):
-        vote = (
-            f"aggregate(transform(tokens, x -> "
-            f"CASE WHEN (({h}) div {2**bit}) % 2 = 1 THEN 1L ELSE -1L END), 0L, (acc, v) -> acc + v)"
-        )
-        bit_terms.append(f"CASE WHEN {vote} > 0 THEN {2**bit}L ELSE 0L END")
-    simhash = " + ".join(bit_terms)
-    return req.select("doc_id", F.expr(simhash).alias("simhash16"))
+    features, computed on the Arrow fast path (simhash_arrow)."""
+    return simhash_arrow(requests_df(spark, sf_dir, "simhash"))
 
 
 def _sql_simhash() -> str:
