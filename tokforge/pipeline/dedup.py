@@ -249,11 +249,16 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str, replicas: int = 1) -> DataFram
     req = _materialized_requests(spark, sf_dir, "minhash", replicas).filter(
         F.col("n_tok") >= SHINGLE_K
     )
-    # Arrow fast path computes the signature; the repartition barrier after
-    # it is the exchange REUSED on both sides of the self-join below
-    # (Spark's ReuseExchange)
-    sig = signatures_arrow(req, FEATURE_SPACE).repartition(
-        int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # Arrow fast path computes the signature.  Exchange REUSE does not fire
+    # across Python map nodes (MapInArrow plans do not canonicalize equal,
+    # unlike the old HOF expressions), so the self-join below would scan +
+    # recompute the signatures twice; persist() pins the tiny sig table
+    # (N_docs x 8 longs) so both sides read the one materialization —
+    # plan-asserted by test_lsh_join_reuses_signature_exchange.
+    sig = (
+        signatures_arrow(req, FEATURE_SPACE)
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+        .persist()
     )
 
     def band_val(i):
