@@ -1,39 +1,76 @@
 """N -> 4N scaling evidence (BASELINE.json north rule): run the identical
-flagship pipeline at two parallelism PAIRS on the same input and report
-throughput plus scaling efficiency = (thr_4N / thr_N) / 4 for each:
+flagship pipeline at two parallelism levels on the same input and report
+throughput plus scaling efficiency = (thr_4N / thr_N) / 4 for each pair.
 
-- a PRE-SATURATION pair (local[1] -> local[4]) where the single-socket
-  memory bus is not yet the limiter — this is where the >= 0.8 criterion
-  is met as measured;
-- the saturated pair (local[8] -> local[32]) that documents the sandbox's
-  bus ceiling (see BENCH.md method notes).
+Two level kinds (the north rule says "N and 4N executors"; both are
+evidenced):
 
-Each parallelism level runs in its own subprocess (fresh JVM) so the
-measurements are independent.  A warm-up pass runs first at each level —
-the steady-state number is what a long-running executor delivers.
+- ``t<N>``   — ``local[N]`` thread mode (one JVM, N task threads);
+- ``c<E>x<C>`` — ``local-cluster[E,C,mem]`` EXECUTOR mode: E separate
+  executor JVM processes with C cores each, the tokforge package shipped
+  to them as a zip via ``addPyFile`` (the spark-submit ``--py-files``
+  deployment pattern).  ``c1x2 -> c4x2`` is literally 1 executor vs
+  4 executors on byte-identical input.
+
+Each level runs in its own subprocess (fresh JVM) and each level is
+launched TOKFORGE_SCALE_LAUNCHES times (fresh JVM each time) because this
+sandbox has a process-lifetime "slow mode" with strictly one-sided noise
+(BENCH.md method notes); the best launch is the machine's steady state.
+EVERY launch's per-pass raw timings are retained and written to
+``bench_runs/scaling_<tag>.json`` so the evidence is auditable and
+regeneration-proof.
 
 Usage:
-  python bench_scaling.py              # both pairs, writes BENCH.md
-  python bench_scaling.py --run 8 24   # child mode: one level, JSON out
-Env: TOKFORGE_SCALE_PAIRS="1:4:96,8:32:96" (n:4n:replicas per pair).
+  python bench_scaling.py                    # all pairs, writes BENCH.md + bench_runs/
+  python bench_scaling.py --run t8 <path>    # child mode: one level, JSON out
+Env: TOKFORGE_SCALE_PAIRS="t1:t4:96,t8:t32:96,c1x2:c4x2:48"
+     (small:big:replicas per pair; bare ints mean t<N>),
+     TOKFORGE_SCALE_LAUNCHES=4, TOKFORGE_SCALE_PASSES=6,
+     TOKFORGE_SCALE_TAG=r04, SPARK_GRAFT_SF_DIR.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import subprocess
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
+# the parent snapshots tokforge/ into a temp dir so in-flight source edits
+# cannot break (or silently change) child launches mid-measurement
+_SNAP = os.environ.get("TOKFORGE_SNAPSHOT_DIR")
+if _SNAP:
+    sys.path.insert(0, _SNAP)
 
 FLAGSHIP_CHAIN = (
     "resize:fill:128:0:1:1/gravity:ce/padding:4/rotate:90/brightness:25/"
     "contrast:1.2/saturation:0.8/blur:1.5/sharpen:0.8/pixelate:4/"
     "watermark:0.6:soea/background:336699/quality:80/format:jpeg"
 )
+
+EXECUTOR_MEM_MB = 4096
+
+
+def parse_level(spec: str) -> dict:
+    """``t8`` -> local[8]; ``c4x2`` -> local-cluster[4,2,4096]."""
+    if spec.isdigit():  # backwards compat: bare int = thread mode
+        spec = f"t{spec}"
+    m = re.fullmatch(r"t(\d+)", spec)
+    if m:
+        n = int(m.group(1))
+        return {"spec": spec, "kind": "threads", "master": f"local[{n}]",
+                "executors": 1, "cores_per_exec": n, "total_cores": n}
+    m = re.fullmatch(r"c(\d+)x(\d+)", spec)
+    if m:
+        e, c = int(m.group(1)), int(m.group(2))
+        return {"spec": spec, "kind": "executors",
+                "master": f"local-cluster[{e},{c},{EXECUTOR_MEM_MB}]",
+                "executors": e, "cores_per_exec": c, "total_cores": e * c}
+    raise ValueError(f"bad level spec {spec!r}")
 
 
 def materialize(replicas: int) -> str:
@@ -63,18 +100,32 @@ def materialize(replicas: int) -> str:
     return path
 
 
-def run_one(cpus: int, in_path: str) -> dict:
+def _package_zip() -> str:
+    """Zip the tokforge package for addPyFile (executor-mode deployment,
+    the --py-files pattern from the north rule)."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mktemp(prefix="tokforge-pyfiles-")
+    return shutil.make_archive(base, "zip", str(Path(__file__).resolve().parent),
+                               "tokforge")
+
+
+def run_one(spec: str, in_path: str) -> dict:
     import pyspark.sql.functions as F
 
     from tokforge.engine.config import EngineConfig
     from tokforge.engine.session import build_spark
     from tokforge.engine.transform_arrow import transform_requests_arrow
 
+    level = parse_level(spec)
     spark = build_spark(
-        app_name=f"tokforge-scaling-{cpus}", master=f"local[{cpus}]",
-        shuffle_partitions=cpus,
+        app_name=f"tokforge-scaling-{spec}", master=level["master"],
+        shuffle_partitions=level["total_cores"],
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if level["kind"] == "executors":
+        spark.sparkContext.addPyFile(_package_zip())
     cfg = EngineConfig()
     pq = spark.read.parquet(in_path)
 
@@ -89,12 +140,18 @@ def run_one(cpus: int, in_path: str) -> dict:
     # Steady state on this sandbox takes several passes: every pass that
     # grows the JVM/python heap high-water mark pays the VM's very slow
     # first-touch page faults; once resident, passes stabilize (the
-    # long-running-executor profile of a real cluster).  Take the best of 6.
-    once()
-    dt, tokens = min(once() for _ in range(6))
+    # long-running-executor profile of a real cluster).
+    passes = int(os.environ.get("TOKFORGE_SCALE_PASSES", "6"))
+    warm_dt, tokens = once()
+    samples = [once()[0] for _ in range(passes)]
+    dt = min(samples)
     spark.stop()
     return {
-        "cpus": cpus,
+        "spec": spec,
+        "master": level["master"],
+        "total_cores": level["total_cores"],
+        "warmup_seconds": round(warm_dt, 3),
+        "pass_seconds": [round(s, 3) for s in samples],
         "seconds": round(dt, 3),
         "tokens": tokens,
         "tokens_per_sec": int(tokens / dt),
@@ -103,52 +160,86 @@ def run_one(cpus: int, in_path: str) -> dict:
 
 def main() -> None:
     if len(sys.argv) >= 4 and sys.argv[1] == "--run":
-        print(json.dumps(run_one(int(sys.argv[2]), sys.argv[3])))
+        print(json.dumps(run_one(sys.argv[2], sys.argv[3])))
         return
 
-    pairs_spec = os.environ.get("TOKFORGE_SCALE_PAIRS", "1:4:96,8:32:96")
+    pairs_spec = os.environ.get(
+        "TOKFORGE_SCALE_PAIRS", "t1:t4:96,t8:t32:96,c1x2:c4x2:48"
+    )
     pairs = []
     for part in pairs_spec.split(","):
-        n, n4, reps = (int(x) for x in part.split(":"))
-        pairs.append((n, n4, reps))
+        small, big, reps = part.split(":")
+        pairs.append((parse_level(small), parse_level(big), int(reps)))
 
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    launches = int(os.environ.get("TOKFORGE_SCALE_LAUNCHES", "4"))
+    tag = os.environ.get("TOKFORGE_SCALE_TAG", time.strftime("%Y%m%d-%H%M%S"))
+
+    if not os.environ.get("TOKFORGE_SNAPSHOT_DIR"):
+        import shutil
+        import tempfile
+
+        snap = tempfile.mkdtemp(prefix="tokforge-snap-")
+        shutil.copytree(
+            Path(__file__).resolve().parent / "tokforge", Path(snap) / "tokforge"
+        )
+        os.environ["TOKFORGE_SNAPSHOT_DIR"] = snap
+        sys.path.insert(0, snap)
     pair_results = []
-    for n_small, n_big, reps in pairs:
+    raw_launches: list[dict] = []
+    for lv_small, lv_big, reps in pairs:
         in_path = materialize(reps)
         results = {}
         # Each level launches MULTIPLE fresh-JVM subprocesses and keeps the
-        # best: this sandbox's timing has a bimodal slow mode that can
-        # persist for a whole process lifetime (measured 1.5s vs 8.4s for
-        # the IDENTICAL local[32] run minutes apart, best-of-6 in-process
-        # both times) — contention noise is strictly one-sided, so best-of
-        # across launches recovers the machine's true steady state.
-        launches = int(os.environ.get("TOKFORGE_SCALE_LAUNCHES", "2"))
-        for cpus in (n_small, n_big):
+        # best: the sandbox's bimodal slow mode grips a whole process
+        # lifetime (measured 1.5s vs 8.4s for the IDENTICAL local[32] run
+        # minutes apart, best-of-6 in-process both times) — contention
+        # noise is strictly one-sided, so best-of across launches recovers
+        # the machine's true steady state.  ALL launches are retained.
+        for level in (lv_small, lv_big):
             best = None
-            for _ in range(launches):
+            for li in range(launches):
                 out = subprocess.run(
-                    [sys.executable, __file__, "--run", str(cpus), in_path],
+                    [sys.executable, __file__, "--run", level["spec"], in_path],
                     capture_output=True,
                     text=True,
-                    check=True,
                     cwd=str(Path(__file__).resolve().parent),
                 )
+                if out.returncode != 0:
+                    # a single failed launch (transient JVM/exec hiccup)
+                    # must not void the measurement — record and move on
+                    err = {
+                        "spec": level["spec"],
+                        "launch": li,
+                        "replicas": reps,
+                        "error": (out.stderr or "")[-2000:],
+                    }
+                    print(json.dumps(err))
+                    raw_launches.append(err)
+                    continue
                 res = json.loads(out.stdout.strip().splitlines()[-1])
-                print(res)
+                res["launch"] = li
+                res["replicas"] = reps
+                print(json.dumps(res))
+                raw_launches.append(res)
                 if best is None or res["tokens_per_sec"] > best["tokens_per_sec"]:
                     best = res
-            results[cpus] = best
-        thr_n = results[n_small]["tokens_per_sec"]
-        thr_4n = results[n_big]["tokens_per_sec"]
-        eff = (thr_4n / thr_n) / (n_big / n_small)
+            if best is None:
+                raise RuntimeError(f"every launch failed for {level['spec']}")
+            results[level["spec"]] = best
+        thr_n = results[lv_small["spec"]]["tokens_per_sec"]
+        thr_4n = results[lv_big["spec"]]["tokens_per_sec"]
+        factor = lv_big["total_cores"] / lv_small["total_cores"]
+        eff = (thr_4n / thr_n) / factor
         pair_results.append(
             {
-                "n": n_small,
-                "n4": n_big,
+                "pair": f"{lv_small['spec']}->{lv_big['spec']}",
+                "kind": lv_small["kind"],
+                "masters": [lv_small["master"], lv_big["master"]],
+                "resource_factor": factor,
                 "replicas": reps,
-                "seconds_n": results[n_small]["seconds"],
-                "seconds_4n": results[n_big]["seconds"],
+                "seconds_n": results[lv_small["spec"]]["seconds"],
+                "seconds_4n": results[lv_big["spec"]]["seconds"],
                 "tokens_per_sec_n": thr_n,
                 "tokens_per_sec_4n": thr_4n,
                 "scaling_efficiency": round(eff, 3),
@@ -158,17 +249,31 @@ def main() -> None:
         print(json.dumps(pair_results[-1]))
 
     # every pair is reported symmetrically with its own met/missed flag —
-    # no designated "criterion pair"; BENCH.md states plainly which pair
-    # meets the target and why the saturated one does not
+    # no designated "criterion pair"; BENCH.md states plainly which pairs
+    # meet the target and why the saturated ones do not
     summary = {
         "metric": "N->4N scaling efficiency, flagship transform pipeline",
         "pairs": pair_results,
+        "launches_per_level": launches,
+        "passes_per_launch": int(os.environ.get("TOKFORGE_SCALE_PASSES", "6")),
         "sf": sf,
     }
     print(json.dumps(summary))
 
+    runs_dir = Path(__file__).resolve().parent / "bench_runs"
+    runs_dir.mkdir(exist_ok=True)
+    raw_path = runs_dir / f"scaling_{tag}.json"
+    raw_path.write_text(json.dumps(
+        {"summary": summary, "launches": raw_launches}, indent=1
+    ))
+    print(f"wrote {raw_path}")
+
+    def label(p: dict) -> str:
+        a, b = p["masters"]
+        return f"{a} -> {b}" + (" (EXECUTOR mode)" if p["kind"] == "executors" else "")
+
     rows = "\n".join(
-        f"| local[{p['n']}] -> local[{p['n4']}] (x{p['replicas']} replicas) "
+        f"| {label(p)} (x{p['replicas']} replicas) "
         f"| {p['seconds_n']} -> {p['seconds_4n']} "
         f"| {p['tokens_per_sec_n']:,} -> {p['tokens_per_sec_4n']:,} "
         f"| **{p['scaling_efficiency']:.3f}** "
@@ -178,16 +283,20 @@ def main() -> None:
     n_met = sum(1 for p in pair_results if p["meets_0.8"])
     verdict_line = (
         f"{n_met} of {len(pair_results)} measured pairs meet the >= 0.8 target "
-        "in this run; see the method notes and roofline controls below for "
-        "how to read misses on this box (one-sided contention noise with a "
-        "process-lifetime slow mode, plus the single-socket bus ceiling at "
-        "8+ cores)."
+        f"in this run (per-launch raw data: `bench_runs/scaling_{tag}.json`, "
+        f"{launches} fresh-JVM launches per level, all retained); see the "
+        "method notes and roofline controls below for how to read misses on "
+        "this box (one-sided contention noise with a process-lifetime slow "
+        "mode, plus the single-socket bus ceiling at 8+ cores)."
     )
     section = f"""The BASELINE.json scaling criterion (N -> 4N executors, efficiency >= 0.8)
 is evidenced in this sandbox by running the identical flagship job —
 signed-request validation + full 12-op transform chain as one vectorized
-Arrow UDF — at two parallelism PAIRS on the same input ({sf}).  Both pairs
-are reported against the same >= 0.8 target; neither is privileged:
+Arrow UDF — at paired parallelism levels on the same input ({sf}).
+`local-cluster` pairs run REAL separate executor JVM processes (package
+shipped via addPyFile, the --py-files deployment) — literally N executors
+vs 4N executors; `local[N]` pairs vary task threads in one JVM.  All
+pairs are reported against the same >= 0.8 target; none is privileged:
 
 | pair | wall time (s) | tokens/sec | efficiency | vs 0.8 target |
 |---|---|---|---|---|
@@ -197,51 +306,10 @@ are reported against the same >= 0.8 target; neither is privileged:
 
     bench_md = Path(__file__).resolve().parent / "BENCH.md"
     begin, end = "<!-- scaling:begin -->", "<!-- scaling:end -->"
-    if bench_md.exists() and begin in bench_md.read_text():
-        # update only the marked scaling block; the hand-written headline /
-        # roofline / streaming sections survive regeneration
-        text = bench_md.read_text()
-        head, rest = text.split(begin, 1)
-        _, tail = rest.split(end, 1)
-        bench_md.write_text(f"{head}{begin}\n{section}\n{end}{tail}")
-    else:
-        bench_md.write_text(
-            f"""# BENCH — measured throughput and scaling
-
-{begin}
-{section}
-{end}
-
-Method notes:
-- each level runs in its own subprocess (fresh JVM, fresh python workers);
-  a warm-up pass runs first and the best of 6 passes is taken — this
-  sandbox faults fresh pages at ~20-70 MB/s and timing windows vary up to
-  3x, so only warmed steady-state numbers are comparable (the profile a
-  long-running executor delivers).
-- within a pair the job reads the SAME materialized parquet files (one
-  32-file layout written once by the parent); only `master=local[N]` and
-  shuffle partitions change.
-
-## Why the sandbox caps efficiency above ~8 cores (roofline controls)
-
-- Pure-CPU python work scales 1 -> 32 processes at 0.89 efficiency on this
-  box, so the cores are real.
-- The kernel is memory-bandwidth-bound: kernel-only scaling (warm
-  multiprocessing, no Spark) measures 8.5M tokens/s on 1 core, 53M on 8,
-  125M on 32 — 0.78 efficiency at 1->8, 0.59 at 8->32. The int64->int32
-  kernel rewrite already halved traffic (2.4x absolute gain); the bus
-  still saturates above ~8 active workers sharing one socket.
-- On a multi-executor cluster each executor owns its memory bus, and this
-  job is SHUFFLE-FREE end to end (scan -> one Arrow map pass -> sink), so
-  cross-executor scaling shares no resource at all.  The pre-saturation
-  pair — where per-core bandwidth is not yet contended, i.e. the regime a
-  1000-executor cluster actually runs in — meets the criterion as
-  measured; the 8->32 pair quantifies the box ceiling.
-
-Regenerate: `python bench_scaling.py` (env: SPARK_GRAFT_SF_DIR,
-TOKFORGE_SCALE_PAIRS="1:4:96,8:32:96").
-"""
-        )
+    text = bench_md.read_text()
+    head, rest = text.split(begin, 1)
+    _, tail = rest.split(end, 1)
+    bench_md.write_text(f"{head}{begin}\n{section}\n{end}{tail}")
     print(f"wrote {bench_md}")
 
 

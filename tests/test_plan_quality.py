@@ -70,6 +70,25 @@ def test_lsh_join_reuses_signature_exchange(spark):
     assert plan.count("InMemoryTableScan") >= 2 or "ReusedExchange" in plan, plan
 
 
+def test_lsh_sig_cache_bounded_and_clearable(spark):
+    """Repeated LSH invocations must NOT leak one persisted table per call
+    (round-3 verdict finding): the signature table is memoized per
+    (application, sf_dir, replicas) and clear_sig_cache() releases every
+    block — zero persistent RDDs afterwards."""
+    from tokforge.pipeline.dedup import _SIG_CACHE, clear_sig_cache, q_lsh_pairs, q_ngram_jaccard
+
+    clear_sig_cache()
+    q_lsh_pairs(spark, SF_SMALL).count()
+    q_lsh_pairs(spark, SF_SMALL).count()
+    q_ngram_jaccard(spark, SF_SMALL).count()  # calls q_lsh_pairs internally
+    keys = [k for k in _SIG_CACHE if k[1] == SF_SMALL]
+    assert len(keys) == 1, f"one cached sig table per input expected: {keys}"
+    clear_sig_cache()
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0
+    assert not _SIG_CACHE
+
+
 def test_knn_topk_is_two_phase(spark):
     """No single reducer may see the whole scored corpus: the rank must be
     a local per-partition top-k (window keyed by (qid, partition id))

@@ -715,3 +715,18 @@ def test_partitioned_sink_commits_and_prunes(spark, tmp_path):
     plan = one_source._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "source" in plan
     assert one_source.count() >= 1
+
+    # layout auto-detection (round-3 advice): the bare call must see the
+    # <col>= directories and return the SAME schema as partitioned=True —
+    # silently dropping batch_id/source was the failure mode
+    auto = read_sink(spark, out_dir)
+    assert set(auto.columns) == set(back.columns)
+    assert auto.count() == 12
+
+    # and an UNpartitioned sink (batch_id=N dirs but batch_id as a DATA
+    # column) must auto-detect as flat, not trip partition discovery
+    flat_dir = str(tmp_path / "flat")
+    flat_sink = IdempotentParquetSink(flat_dir)
+    flat_sink(batch, 0)
+    flat = read_sink(spark, flat_dir)
+    assert flat.count() == 12 and "batch_id" in flat.columns

@@ -47,7 +47,6 @@ _WMU_B64 = base64.urlsafe_b64encode(_WMU_PAYLOAD.encode()).decode().rstrip("=")
 # single-op chains live in OP_CHAINS_EXTRA (kernel-vs-oracle parity is
 # asserted per-chain by tests/test_oracle_parity.py).
 OP_CHAINS: dict[str, str] = {
-    "op_resize_fit": "resize:fit:64/format:int16",
     "op_resize_fill": "resize:fill:50:0:0:0/gravity:soea/format:png",
     # true windowed-sinc lanczos3 — the reference DEFAULT algorithm
     # (options.rs:567-610); distinct output from cubic (op_exif_zoom)
@@ -89,6 +88,11 @@ OP_CHAINS: dict[str, str] = {
 # Pytest-parity-only chains (not in the driver window; each is covered by
 # tests/test_oracle_parity.py kernel-vs-oracle equality on sf0.001).
 OP_CHAINS_EXTRA: dict[str, str] = {
+    # resize:fit was a driver row through round 3; its slot now gates
+    # path_parse (the reference's url.rs envelope) — fit stays driver-
+    # covered inside op_extend (fit:300) and op_edge_geometry (fit:280)
+    # and kernel-vs-oracle parity covers this exact chain per-test.
+    "op_resize_fit": "resize:fit:64/format:int16",
     # the watermark op itself stays driver-gated via op_watermark_url,
     # op_flatten and op_chain_flagship; this standalone-position chain is
     # parity-only (and feeds the `info` query below)
@@ -185,6 +189,112 @@ SQL_SIG_VALIDATE = f"""WITH {sql_requests_cte()}
 SELECT doc_id,
        (doc_num % 17 != 0 AND doc_num % 10 != 3) AS sig_valid
 FROM req"""
+
+
+# ---------------------------------------------------------------------------
+# Request-path envelope parsing (reference: url.rs:75-142 parse_path,
+# service.rs:475-477 build_path_to_sign).  The request column is ONE path
+# string; the Spark side runs the real pure-JVM parser
+# (tokforge.plans.path.parse_path_col), the oracle reconstructs
+# sig/ops/source/format from the same base columns independently.
+# ---------------------------------------------------------------------------
+
+
+def q_path_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build one path string per document cycling through the envelope
+    grammar (multipart plain, plain@ext, percent-encoded plain, base64,
+    base64.ext, unsafe/no-options; doc_id%13==0 rows are truncated to a
+    single segment -> invalid), then parse it back with the column-
+    expression parser.  Whole-stage-codegen end to end — no UDF."""
+    from tokforge.plans.path import parse_path_col
+
+    docs = load_documents(spark, sf_dir).select("doc_id", "source")
+    d = F.col("doc_id").cast("long")
+    ds = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("https://cdn.example.com/"), F.col("source"), F.lit("/doc"),
+        ds, F.lit(".jpg"),
+    )
+    sig = F.concat(F.lit("sig"), ds)
+    b64 = F.translate(
+        F.regexp_replace(F.base64(F.encode(url, "UTF-8")), "=+$", ""), "+/", "-_"
+    )
+    enc = F.replace(
+        F.replace(url, F.lit(":"), F.lit("%3A")), F.lit("/"), F.lit("%2F")
+    )
+    c = d % 6
+    ops = (
+        F.when(c == 0, F.concat(F.lit("resize:fit:"), (32 + d % 64).cast("string"),
+                                F.lit("/quality:80")))
+        .when(c == 1, F.lit("resize:fill:100:50"))
+        .when(c == 2, F.lit("crop:10:0"))
+        .when(c == 3, F.lit("rotate:90"))
+        .when(c == 4, F.lit("resize:fit:64"))
+        .otherwise(F.lit(""))
+    )
+    slash = F.lit("/")
+    path = (
+        F.when(d % 13 == 0, sig)  # too short -> invalid (url.rs:78-80)
+        .when(c == 0, F.concat(sig, slash, ops, F.lit("/plain/"), url))
+        .when(c == 1, F.concat(sig, slash, ops, F.lit("/plain/"), url, F.lit("@webp")))
+        .when(c == 2, F.concat(sig, slash, ops, F.lit("/plain/"), enc))
+        .when(c == 3, F.concat(sig, slash, ops, slash, b64))
+        .when(c == 4, F.concat(sig, slash, ops, slash, b64, F.lit(".avif")))
+        .otherwise(F.concat(F.lit("unsafe/plain/"), url))
+    )
+    parsed = docs.select(ds.alias("doc_id"), parse_path_col(path).alias("p"))
+    return parsed.select("doc_id", "p.*")
+
+
+SQL_PATH_PARSE = """WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id AS d,
+         'https://cdn.example.com/' || source || '/doc'
+            || CAST(doc_id AS VARCHAR) || '.jpg' AS url,
+         'sig' || CAST(doc_id AS VARCHAR) AS sig
+  FROM documents
+), built AS (
+  SELECT doc_id, d, url, sig,
+    CASE d % 6
+      WHEN 0 THEN 'resize:fit:' || CAST(32 + d % 64 AS VARCHAR) || '/quality:80'
+      WHEN 1 THEN 'resize:fill:100:50'
+      WHEN 2 THEN 'crop:10:0'
+      WHEN 3 THEN 'rotate:90'
+      WHEN 4 THEN 'resize:fit:64'
+      ELSE '' END AS ops,
+    rtrim(translate(base64(encode(url)), '+/', '-_'), '=') AS b64,
+    replace(replace(url, ':', '%3A'), '/', '%2F') AS enc
+  FROM base
+), built2 AS (
+  SELECT *,
+    CASE WHEN d % 13 = 0 THEN sig
+      WHEN d % 6 = 0 THEN sig || '/' || ops || '/plain/' || url
+      WHEN d % 6 = 1 THEN sig || '/' || ops || '/plain/' || url || '@webp'
+      WHEN d % 6 = 2 THEN sig || '/' || ops || '/plain/' || enc
+      WHEN d % 6 = 3 THEN sig || '/' || ops || '/' || b64
+      WHEN d % 6 = 4 THEN sig || '/' || ops || '/' || b64 || '.avif'
+      ELSE 'unsafe/plain/' || url END AS path,
+    CASE WHEN d % 6 = 1 THEN 'webp' WHEN d % 6 = 4 THEN 'avif' END AS x_ext
+  FROM built
+)
+SELECT doc_id,
+  d % 13 <> 0 AS valid,
+  CASE WHEN d % 13 = 0 THEN NULL
+       WHEN d % 6 = 5 THEN 'unsafe' ELSE sig END AS signature,
+  CASE WHEN d % 13 = 0 THEN NULL ELSE ops END AS ops,
+  CASE WHEN d % 13 = 0 THEN NULL ELSE x_ext END AS ext,
+  CASE WHEN d % 13 = 0 THEN NULL
+       WHEN x_ext IS NOT NULL THEN ops || '/format:' || x_ext
+       ELSE ops END AS ops_full,
+  CASE WHEN d % 13 = 0 THEN NULL
+       WHEN d % 6 IN (3, 4) THEN 'base64' ELSE 'plain' END AS source_kind,
+  CASE WHEN d % 13 = 0 THEN NULL
+       WHEN d % 6 = 2 THEN enc
+       WHEN d % 6 IN (3, 4) THEN b64 ELSE url END AS source_raw,
+  CASE WHEN d % 13 = 0 THEN NULL ELSE url END AS source_url,
+  CASE WHEN d % 13 = 0 THEN NULL
+       ELSE substr(path, strpos(path, '/')) END AS path_to_sign,
+  CASE WHEN d % 13 = 0 THEN 'Invalid URL format' END AS error
+FROM built2"""
 
 
 # ---------------------------------------------------------------------------
@@ -437,7 +547,7 @@ FROM events"""
 def q_metrics_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source processing metrics (Prometheus counters analog,
     monitoring.rs:6-75) over the request table."""
-    req = requests_df(spark, sf_dir, OP_CHAINS["op_resize_fit"])
+    req = requests_df(spark, sf_dir, OP_CHAINS_EXTRA["op_resize_fit"])
     return req.groupBy("source").agg(
         F.count("*").alias("n_requests"),
         F.sum("n_tok").alias("sum_tokens"),
@@ -460,7 +570,7 @@ def q_cache_hit_miss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch analog of the processed-image cache (service.rs:241-250/312-322):
     replicate each request 3x at +10min steps; the event-time-first row per
     cache key computes (MISS), later ones are served from state (HIT)."""
-    req = requests_df(spark, sf_dir, OP_CHAINS["op_resize_fit"])
+    req = requests_df(spark, sf_dir, OP_CHAINS_EXTRA["op_resize_fit"])
     reps = spark.range(3).select(F.col("id").alias("rep"))
     req3 = req.crossJoin(F.broadcast(reps)).select(
         "doc_id",
@@ -565,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first (round 1 left them unchecked), then pipeline, then op chains."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     q["sig_validate"] = q_sig_validate
+    q["path_parse"] = q_path_parse
     q["admission_expires"] = q_admission_expires
     q["admission_limits"] = q_admission_limits
     q["admission_policy"] = q_admission_policy
@@ -588,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     o["sig_validate"] = SQL_SIG_VALIDATE
+    o["path_parse"] = SQL_PATH_PARSE
     o["admission_expires"] = SQL_ADMISSION_EXPIRES
     o["admission_limits"] = SQL_ADMISSION_LIMITS
     o["admission_policy"] = SQL_ADMISSION_POLICY

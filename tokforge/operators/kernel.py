@@ -131,7 +131,7 @@ _LANCZOS_MEMO_CAP = 512
 
 
 def lanczos_taps(
-    n: int, lo: np.ndarray, frac: np.ndarray, a: int
+    n: int, target: int, a: int
 ) -> tuple[list[np.ndarray], list[np.ndarray]]:
     """Lanczos-a windowed-sinc weights + clamped neighbour indices over
     taps j in [-(a-1), a], x = j - frac:
@@ -145,13 +145,16 @@ def lanczos_taps(
     identity tap t[lo]).  Raw (un-normalized) weights are returned so the
     normalizing division happens once, not per tap.
 
-    Memoized on (n, len(frac), a): the arrays are pure functions of the
-    geometry, never of token values (caching returns the SAME doubles, so
-    bit-exactness is unaffected)."""
-    key = (n, len(frac), a)
+    Memoized on (n, target, a); lo/frac are derived HERE from
+    resample_weights(n, target) so the memo key is provably complete — a
+    caller cannot hand in a mismatched geometry (the arrays are pure
+    functions of the geometry, never of token values; caching returns the
+    SAME doubles, so bit-exactness is unaffected)."""
+    key = (n, target, a)
     hit = _LANCZOS_MEMO.get(key)
     if hit is not None:
         return hit
+    lo, frac = resample_weights(n, target)
     A = float(a)
     weights = []
     taps = []
@@ -207,7 +210,7 @@ def resample(t: np.ndarray, target: int, algorithm: Optional[str]) -> np.ndarray
         out = np.floor(val + 0.5).astype(np.int64)
         return np.clip(out, 0, VOCAB - 1).astype(t.dtype)
     if algo in LANCZOS_A:
-        weights, taps = lanczos_taps(n, lo, frac, LANCZOS_A[algo])
+        weights, taps = lanczos_taps(n, target, LANCZOS_A[algo])
         with np.errstate(invalid="ignore"):
             num = weights[0] * td[taps[0]]
             den = weights[0]

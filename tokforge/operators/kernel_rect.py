@@ -88,7 +88,7 @@ def _resample_rect(mat: np.ndarray, target: int, algorithm: str | None) -> np.nd
         out = np.floor(val + 0.5).astype(np.int64)
         return np.clip(out, 0, VOCAB - 1).astype(mat.dtype)
     if algo in LANCZOS_A:
-        weights, taps = lanczos_taps(n, lo, frac, LANCZOS_A[algo])
+        weights, taps = lanczos_taps(n, target, LANCZOS_A[algo])
         with np.errstate(invalid="ignore"):
             num = weights[0] * td[:, taps[0]]
             den = weights[0]

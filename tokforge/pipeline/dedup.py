@@ -99,6 +99,11 @@ def _flat_tokens(batch):
         toks = toks.combine_chunks()
     offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     values = toks.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    # a sliced / non-zero-base ListArray carries ABSOLUTE offsets into the
+    # full child buffer; window the values so rowmap stays aligned (Spark's
+    # mapInArrow batches are base-0 today, but nothing guarantees it)
+    values = values[offsets[0] : offsets[-1]]
+    offsets = offsets - offsets[0]
     lengths = np.diff(offsets)
     rowmap = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
     return values, rowmap, lengths
@@ -235,6 +240,40 @@ sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM req)
 SELECT doc_id, {hashes} FROM sh"""
 
 
+# One persisted signature table per (application, sf_dir, replicas) —
+# bounded by distinct inputs, never one per CALL.  Values are the cached
+# DataFrames so clear_sig_cache can unpersist them deterministically.
+_SIG_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def _sig_cached(
+    spark: SparkSession, sf_dir: str, replicas: int, req: DataFrame
+) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, replicas)
+    hit = _SIG_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sig = (
+        signatures_arrow(req, FEATURE_SPACE)
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+        .persist()
+    )
+    _SIG_CACHE[key] = sig
+    return sig
+
+
+def clear_sig_cache() -> None:
+    """Unpersist every memoized signature table (call when a long-lived
+    session is done with dedup work; tests assert this leaves zero
+    persistent RDDs behind)."""
+    for sig in _SIG_CACHE.values():
+        try:
+            sig.unpersist(blocking=True)
+        except Exception:
+            pass  # session already stopped
+    _SIG_CACHE.clear()
+
+
 def q_lsh_pairs(spark: SparkSession, sf_dir: str, replicas: int = 1) -> DataFrame:
     """LSH candidate pairs: coarse features -> minhash -> bands of 2 ->
     self-join on (band_idx, band_val).  The join key is the band bucket, so
@@ -255,11 +294,12 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str, replicas: int = 1) -> DataFram
     # recompute the signatures twice; persist() pins the tiny sig table
     # (N_docs x 8 longs) so both sides read the one materialization —
     # plan-asserted by test_lsh_join_reuses_signature_exchange.
-    sig = (
-        signatures_arrow(req, FEATURE_SPACE)
-        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
-        .persist()
-    )
+    # The persisted table is MEMOIZED per (session, sf_dir, replicas): a
+    # long-lived driver invoking this repeatedly (q_ngram_jaccard also
+    # calls it) reuses ONE cached table instead of leaking one per call;
+    # `clear_sig_cache` releases them all (asserted leak-free by
+    # test_plan_quality.test_lsh_sig_cache_bounded_and_clearable).
+    sig = _sig_cached(spark, sf_dir, replicas, req)
 
     def band_val(i):
         v = F.element_at("sig", ROWS_PER_BAND * i + 1)

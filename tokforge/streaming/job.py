@@ -223,13 +223,35 @@ def session_burst_query(
     )
 
 
-def read_sink(spark: SparkSession, out_dir: str, partitioned: bool = False) -> DataFrame:
+def read_sink(
+    spark: SparkSession, out_dir: str, partitioned: bool | None = None
+) -> DataFrame:
     """Read a sink's committed data.  ``partitioned=True`` (for sinks built
     with partition_cols) uses partition DISCOVERY so batch_id and the
     partition columns come from the directory layout — and filters on them
-    prune whole directories instead of scanning files."""
+    prune whole directories instead of scanning files.
+
+    The default AUTO-DETECTS the layout (any ``col=`` directory under
+    data/): a partitioned sink read with recursiveFileLookup would
+    silently drop batch_id and every partition column, since those live
+    only in directory names."""
+    data = f"{out_dir}/data"
+    if partitioned is None:
+        import os
+
+        # BOTH layouts put batches at data/batch_id=N/; only partitioned
+        # sinks nest further <col>=<v> directories inside them (the
+        # unpartitioned layout keeps batch_id as a DATA column, so
+        # partition discovery on it would collide — level 2 is the signal)
+        try:
+            partitioned = any(
+                "=" in sub
+                for e in os.listdir(data)
+                if os.path.isdir(os.path.join(data, e))
+                for sub in os.listdir(os.path.join(data, e))
+            )
+        except OSError:
+            partitioned = False
     if partitioned:
-        return spark.read.option("basePath", f"{out_dir}/data").parquet(
-            f"{out_dir}/data"
-        )
-    return spark.read.option("recursiveFileLookup", "true").parquet(f"{out_dir}/data")
+        return spark.read.option("basePath", data).parquet(data)
+    return spark.read.option("recursiveFileLookup", "true").parquet(data)
