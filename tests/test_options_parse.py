@@ -531,3 +531,41 @@ def test_only_presets_rejects_plain_options():
 def test_boolean_parse_exact():
     assert parse_boolean("1") and parse_boolean("true")
     assert not parse_boolean("TRUE") and not parse_boolean("yes")
+
+
+# ---------------------------------------------------------------------------
+# Output shaping: content_disposition + metadata strip (service.rs:662-674,
+# save.rs:66-72) — real output effects as of round 4
+# ---------------------------------------------------------------------------
+
+
+def test_content_disposition_requires_filename():
+    from tokforge.plans.options import content_disposition
+
+    assert content_disposition(parse_chain("quality:90")) is None
+
+
+def test_content_disposition_inline_vs_attachment():
+    from tokforge.plans.options import content_disposition
+
+    inline = parse_chain("filename:report.pdf")
+    assert content_disposition(inline) == 'inline; filename="report.pdf"'
+    att = parse_chain("filename:report.pdf/return_attachment:1")
+    assert content_disposition(att) == 'attachment; filename="report.pdf"'
+
+
+def test_content_disposition_sanitizes_header_breakers():
+    # service.rs:672: backslash, double-quote, CR, LF all become '_'
+    from tokforge.plans.options import Plan, content_disposition
+
+    p = Plan(filename='a"b\\c\rd\ne')
+    assert content_disposition(p) == 'inline; filename="a_b_c_d_e"'
+
+
+def test_strips_metadata_either_flag():
+    from tokforge.plans.options import strips_metadata
+
+    assert not strips_metadata(parse_chain("quality:90"))
+    assert strips_metadata(parse_chain("strip_metadata:true"))
+    assert strips_metadata(parse_chain("strip_color_profile:true"))
+    assert strips_metadata(parse_chain("sm"))  # bare shorthand -> True

@@ -83,3 +83,37 @@ def test_arrow_verify_in_pass(spark):
     out = transform_requests_arrow(req, CFG, verify=True)
     for r in out.select("doc_id", "sig_valid").collect():
         assert r["sig_valid"] == (int(r["doc_id"]) % 3 != 0)
+
+
+def test_output_shaping_columns_both_paths(spark):
+    """content_disposition + meta_orientation (round-4 real effects) agree
+    between the pandas and Arrow paths and follow the reference rules:
+    filename -> header (sanitized), strip -> NULL metadata, auto_rotate
+    consumes the EXIF tag (1), auto_rotate:false / raw keep the original."""
+    from tokforge.engine.config import EngineConfig
+    from tokforge.engine.transform import transform_requests
+    from tokforge.engine.transform_arrow import transform_requests_arrow
+    from tokforge.sources.requests import requests_df
+
+    cases = {
+        'filename:a"b/return_attachment:1/strip_metadata:true/format:jpeg': (
+            'attachment; filename="a_b"',
+            None,
+        ),
+        "filename:x.png/auto_rotate:false/format:png": (
+            'inline; filename="x.png"',
+            "orig",
+        ),
+        "crop:10:0/format:png": (None, 1),
+        "raw": (None, "orig"),
+    }
+    cfg = EngineConfig()
+    for chain, (cd, meta) in cases.items():
+        req = requests_df(spark, "/root/testdata/sf0.001", chain).limit(24)
+        for path_fn in (transform_requests, transform_requests_arrow):
+            rows = path_fn(req, cfg, verify=False).collect()
+            assert rows, chain
+            for r in rows:
+                assert r["content_disposition"] == cd, (chain, path_fn)
+                expect = 1 + int(r["doc_id"]) % 8 if meta == "orig" else meta
+                assert r["meta_orientation"] == expect, (chain, path_fn, r)

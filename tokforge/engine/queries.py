@@ -341,6 +341,61 @@ def q_presets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Encode-surface composite: format_quality + the output-shaping options
+# that round 3 only parse-and-carried, now REAL output columns —
+# content_disposition (service.rs:662-674: sanitized filename,
+# inline/attachment) and meta_orientation (save.rs:66-72 metadata keep/
+# strip; EXIF tag normalized to 1 once auto-rotate consumes it).
+# Even docs: attachment + strip_metadata -> header set, metadata NULL.
+# Odd docs: inline filename + auto_rotate:false -> original EXIF kept.
+# ---------------------------------------------------------------------------
+
+_EDGE_ENCODE_BASE = "format_quality:jpeg:100:avif:40"
+_EDGE_ENCODE_A = (
+    _EDGE_ENCODE_BASE
+    + '/filename:report"2024/return_attachment:1/strip_metadata:true/format:jpeg'
+)
+_EDGE_ENCODE_B = (
+    _EDGE_ENCODE_BASE + "/filename:summary.pdf/auto_rotate:false/format:jpeg"
+)
+
+
+def q_edge_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    req = requests_df(spark, sf_dir, _EDGE_ENCODE_A)
+    d = F.col("doc_id").cast("long")
+    req = req.withColumn(
+        "ops",
+        F.when(d % 2 == 0, F.lit(_EDGE_ENCODE_A)).otherwise(F.lit(_EDGE_ENCODE_B)),
+    )
+    out = transform_requests(req, CONFIG, verify=False)
+    return out.select(
+        "doc_id",
+        "n_out",
+        tokens_digest_col().alias("tokens_md5"),
+        "dtype",
+        "size_bytes",
+        "quality",
+        "fmt",
+        "content_disposition",
+        "meta_orientation",
+    )
+
+
+def _sql_edge_encode() -> str:
+    # the header literals are written OUT here by hand (filename
+    # sanitization '"' -> '_' applied), independent of the Python helper
+    ia = oracle_transform_sql(_EDGE_ENCODE_A, digest_tokens=True)
+    ib = oracle_transform_sql(_EDGE_ENCODE_B, digest_tokens=True)
+    return f"""SELECT t.*, 'attachment; filename="report_2024"' AS content_disposition,
+       CAST(NULL AS INTEGER) AS meta_orientation
+FROM ({ia}) t WHERE CAST(doc_id AS BIGINT) % 2 = 0
+UNION ALL
+SELECT t.*, 'inline; filename="summary.pdf"' AS content_disposition,
+       CAST(1 + CAST(doc_id AS BIGINT) % 8 AS INTEGER) AS meta_orientation
+FROM ({ib}) t WHERE CAST(doc_id AS BIGINT) % 2 = 1"""
+
+
+# ---------------------------------------------------------------------------
 # Composite admission policy: bearer secret + MIME allowlist +
 # skip_processing in ONE query (reference: service.rs:432-446 bearer,
 # :500-510 MIME allowlist, options.rs:1128-1135 skip_processing).
@@ -693,6 +748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q[name] = fn
     for name, chain in OP_CHAINS.items():
         q[name] = _op_query(chain)
+    # the encode composite gates the shaped output columns (variant chain)
+    q["op_edge_encode"] = q_edge_encode
     return q
 
 
@@ -715,4 +772,5 @@ def oracle_sql() -> dict[str, str]:
             o[name] = sql
     for name, chain in OP_CHAINS.items():
         o[name] = oracle_transform_sql(chain, digest_tokens=True)
+    o["op_edge_encode"] = _sql_edge_encode()
     return o

@@ -29,7 +29,13 @@ from pyspark.sql.types import (
 from tokforge.engine.config import DEFAULT_CONFIG, EngineConfig
 from tokforge.functions.signing import sign_series, verify_series
 from tokforge.operators.kernel import TransformError
-from tokforge.plans.options import OptionParseError, Plan, parse_chain
+from tokforge.plans.options import (
+    OptionParseError,
+    Plan,
+    content_disposition,
+    parse_chain,
+    strips_metadata,
+)
 
 TRANSFORM_RESULT_SCHEMA = StructType(
     [
@@ -39,6 +45,14 @@ TRANSFORM_RESULT_SCHEMA = StructType(
         StructField("size_bytes", LongType(), True),
         StructField("quality", IntegerType(), True),
         StructField("fmt", StringType(), True),
+        # Content-Disposition header value (service.rs:662-674); null
+        # without a filename option or on error rows
+        StructField("content_disposition", StringType(), True),
+        # EXIF-orientation metadata carried INTO the output: the original
+        # tag when kept (raw / auto_rotate:false), 1 once auto-rotate has
+        # consumed it, null when strip_metadata/strip_color_profile drops
+        # metadata on encode (save.rs:66-72) or on error rows
+        StructField("meta_orientation", IntegerType(), True),
         StructField("error", StringType(), True),
     ]
 )
@@ -85,6 +99,8 @@ def _transform_batch(
     out_size = np.zeros(n, dtype=np.int64)
     out_quality = np.zeros(n, dtype=np.int32)
     out_fmt = np.empty(n, dtype=object)
+    out_cd = np.full(n, None, dtype=object)
+    out_meta = np.full(n, None, dtype=object)
     out_error = np.full(n, None, dtype=object)
 
     tok_vals = tokens.to_numpy(dtype=object)
@@ -164,6 +180,12 @@ def _transform_batch(
         out_size[idx] = result.size_bytes
         out_quality[idx] = result.quality
         out_fmt[idx] = result.fmt
+        out_cd[idx] = content_disposition(plan)
+        if not strips_metadata(plan):
+            if plan.auto_rotate and not plan.raw:
+                out_meta[idx] = 1  # EXIF consumed by auto-rotate
+            else:
+                out_meta[idx] = ori_vals[idx]
 
     return pd.DataFrame(
         {
@@ -173,6 +195,8 @@ def _transform_batch(
             "size_bytes": out_size,
             "quality": out_quality,
             "fmt": out_fmt,
+            "content_disposition": out_cd,
+            "meta_orientation": out_meta,
             "error": out_error,
         }
     )
@@ -276,5 +300,7 @@ def transform_requests(
         F.col("result.size_bytes").alias("size_bytes"),
         F.col("result.quality").alias("quality"),
         F.col("result.fmt").alias("fmt"),
+        F.col("result.content_disposition").alias("content_disposition"),
+        F.col("result.meta_orientation").alias("meta_orientation"),
         F.col("result.error").alias("error"),
     )

@@ -28,12 +28,13 @@ from tokforge.engine.transform import _plan_for
 from tokforge.operators.alloc import tune_allocator  # noqa: F401
 from tokforge.operators.kernel import TransformError
 from tokforge.operators.kernel_rect import apply_plan_rect
-from tokforge.plans.options import OptionParseError
+from tokforge.plans.options import OptionParseError, content_disposition, strips_metadata
 
 OUTPUT_SCHEMA_DDL = (
     "doc_id string, source string, ts timestamp, ops string, n_tok int, "
     "sig_valid boolean, tokens_out array<int>, n_out int, dtype string, "
-    "size_bytes long, quality int, fmt string, error string"
+    "size_bytes long, quality int, fmt string, content_disposition string, "
+    "meta_orientation int, error string"
 )
 
 
@@ -107,6 +108,8 @@ def _transform_record_batch(batch: pa.RecordBatch, config: EngineConfig) -> pa.R
     out_size = np.zeros(n, dtype=np.int64)
     out_quality = np.zeros(n, dtype=np.int32)
     out_fmt = np.empty(n, dtype=object)
+    out_cd = np.full(n, None, dtype=object)
+    out_meta = np.full(n, None, dtype=object)
     out_error = np.full(n, None, dtype=object)
     bucket_results: list[tuple[np.ndarray, np.ndarray]] = []  # (row_idx, matrix)
 
@@ -170,6 +173,12 @@ def _transform_record_batch(batch: pa.RecordBatch, config: EngineConfig) -> pa.R
         out_size[row_idx] = result.size_bytes
         out_quality[row_idx] = result.quality
         out_fmt[row_idx] = result.fmt
+        out_cd[row_idx] = content_disposition(plan)
+        if not strips_metadata(plan):
+            if plan.auto_rotate and not plan.raw:
+                out_meta[row_idx] = 1  # EXIF consumed by auto-rotate
+            else:
+                out_meta[row_idx] = orientations[row_idx]
         bucket_results.append((row_idx, result.tokens))
 
     # assemble the output list column: flat scatter into one values buffer
@@ -211,6 +220,8 @@ def _transform_record_batch(batch: pa.RecordBatch, config: EngineConfig) -> pa.R
             pa.array(out_size, type=pa.int64()),
             pa.array(out_quality, type=pa.int32()),
             pa.array(out_fmt, type=pa.string()),
+            pa.array(out_cd, type=pa.string()),
+            pa.array(out_meta.tolist(), type=pa.int32()),
             pa.array(out_error, type=pa.string()),
         ],
         names=[
@@ -226,6 +237,8 @@ def _transform_record_batch(batch: pa.RecordBatch, config: EngineConfig) -> pa.R
             "size_bytes",
             "quality",
             "fmt",
+            "content_disposition",
+            "meta_orientation",
             "error",
         ],
     )

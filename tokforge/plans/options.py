@@ -681,6 +681,26 @@ def parse_all_options(options: list[ProcessingOption]) -> Plan:  # noqa: C901
     return plan
 
 
+def content_disposition(plan: Plan) -> Optional[str]:
+    """Content-Disposition header value shaped by filename /
+    return_attachment (reference: service.rs:662-674
+    ``content_disposition_for``): None without a filename; the filename is
+    sanitized by replacing backslash, double-quote, CR and LF with '_'."""
+    if plan.filename is None:
+        return None
+    disposition = "attachment" if plan.return_attachment else "inline"
+    safe = plan.filename
+    for ch in ('\\', '"', "\r", "\n"):
+        safe = safe.replace(ch, "_")
+    return f'{disposition}; filename="{safe}"'
+
+
+def strips_metadata(plan: Plan) -> bool:
+    """True when the encode drops source metadata (reference:
+    save.rs:66-72 ``metadata_keep`` -> ForeignKeep::None)."""
+    return bool(plan.save.strip_metadata) or bool(plan.save.strip_color_profile)
+
+
 def parse_chain(
     ops: str,
     presets: dict[str, str] | None = None,
