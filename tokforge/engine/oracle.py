@@ -24,7 +24,13 @@ from tokforge.constants import (
     WM_FRACTION_DEN,
     WM_MARGIN_FRAC,
 )
-from tokforge.operators.kernel import LANCZOS_A, LANCZOS_PI, quality_step
+from tokforge.operators.kernel import (
+    LANCZOS_A,
+    LANCZOS_PI,
+    _jpeg_progressive,
+    _palette_colors,
+    quality_step,
+)
 from tokforge.plans.options import Plan, parse_chain
 from tokforge.sources.requests import sql_requests_cte
 
@@ -549,13 +555,36 @@ FROM {steps.current}"""
                 return f"list_transform({e}, x -> x % 256)"
             return e
 
+        # encoder knobs (kernel.op_encode order: quantize -> palette ->
+        # dtype rule -> progressive -> size)
+        palette_k = _palette_colors(plan.save) if out_fmt == "png" else None
+        progressive = out_fmt in ("jpeg", "jpg") and _jpeg_progressive(plan.save)
+
+        def _palette_expr(e: str) -> str:
+            k = min(max(palette_k, 2), 256)
+            cell = VOCAB // k
+            return (
+                f"list_transform({e}, x -> least(least(greatest(x, 0), "
+                f"{VOCAB - 1}) // {cell}, {k - 1}) * {cell} + {cell // 2})"
+            )
+
+        def _progressive_expr(e: str) -> str:
+            return (
+                f"list_concat(list_select({e}, range(1, len({e}) + 1, 2)), "
+                f"list_select({e}, range(2, len({e}) + 1, 2)))"
+            )
+
         if plan.save.max_bytes is None:
             if lossy:
                 step = quality_step(quality)
                 if step > 1:
                     steps.replace_t(f"list_transform(t, x -> x - x % {step})")
+            if palette_k is not None:
+                steps.replace_t(_palette_expr("t"))
             if rule != "none":
                 steps.replace_t(_rule_expr("t"))
+            if progressive:
+                steps.replace_t(_progressive_expr("t"))
             quality_sql = f"CAST({quality} AS INTEGER)"
             size_sql = _size_bytes_expr("t", elem_bytes)
         else:
@@ -581,10 +610,26 @@ FROM {steps.current}"""
                     step = quality_step(qc)
                     if step > 1:
                         e = f"list_transform(t, x -> x - x % {step})"
+                if palette_k is not None:
+                    e = _palette_expr(e)
                 enc_aux.append((f"mbt{i}", _rule_expr(e)))
             steps.add_aux(enc_aux)
+            enc_name = "mbt"
+            if progressive:
+                # second aux layer so the (len-dependent) reorder reads a
+                # named column instead of duplicating the encode expression
+                steps.add_aux(
+                    [
+                        (f"mbp{i}", _progressive_expr(f"mbt{i}"))
+                        for i in range(len(cands))
+                    ]
+                )
+                enc_name = "mbp"
             steps.add_aux(
-                [(f"mbs{i}", _size_bytes_expr(f"mbt{i}", elem_bytes)) for i in range(len(cands))]
+                [
+                    (f"mbs{i}", _size_bytes_expr(f"{enc_name}{i}", elem_bytes))
+                    for i in range(len(cands))
+                ]
             )
             if len(cands) == 1:
                 pick_expr = "0"  # q started at 1: single candidate, no walk
@@ -594,8 +639,10 @@ FROM {steps.current}"""
                 )
                 pick_expr = f"CASE {fit_arms} ELSE {len(cands) - 1} END"
             steps.add_aux([("mbpick", pick_expr)])
-            t_arms = " ".join(f"WHEN {i} THEN mbt{i}" for i in range(len(cands)))
-            steps.replace_t(f"CASE mbpick {t_arms} ELSE mbt0 END")
+            t_arms = " ".join(
+                f"WHEN {i} THEN {enc_name}{i}" for i in range(len(cands))
+            )
+            steps.replace_t(f"CASE mbpick {t_arms} ELSE {enc_name}0 END")
             q_arms = " ".join(f"WHEN {i} THEN {cands[i]}" for i in range(len(cands)))
             quality_sql = f"CAST(CASE mbpick {q_arms} ELSE {cands[0]} END AS INTEGER)"
             size_sql = _size_bytes_expr("t", elem_bytes)

@@ -59,7 +59,10 @@ OP_CHAINS: dict[str, str] = {
     "op_exif_zoom": "zoom:1.5/ra:cubic/crop:24:0:ce/format:int64",  # auto_rotate on
     "op_watermark_url": f"watermark:0.8:ce/watermark_url:{_WMU_B64}/format:png",
     "op_flatten": "watermark:1:nowe/background:0:0:255/format:jpeg/quality:90",
-    "op_max_bytes": "size:64/quality:20/max_bytes:150/format:jpeg",
+    # jpeg_options:1 = progressive scan layout (save.rs:84 interlace),
+    # interacting with the max_bytes walk-down: the reorder changes run
+    # structure, so the fit decision sees the progressive encoding
+    "op_max_bytes": "size:64/quality:20/max_bytes:150/jpeg_options:1/format:jpeg",
     "op_format_default": "crop:50:0:ce",  # no format -> source dtype path
     "op_raw": "raw",
     "op_chain_flagship": (
@@ -73,7 +76,11 @@ OP_CHAINS: dict[str, str] = {
     # op_edge_effects carries the full effect stack (blur/sharpen/pixelate +
     # brightness/contrast/saturation) — folded from the former op_flip_uint8
     # and op_effects rows to hold the registry at 50.
-    "op_edge_resize": "resize:fill:0:60:1/resizing_algorithm:linear/format:png",
+    # png_options:0:1:16 = interlaced off, quantize ON, 16 palette colors:
+    # the palette fold is a REAL token effect as of round 4 (save.rs:99-110)
+    "op_edge_resize": (
+        "resize:fill:0:60:1/resizing_algorithm:linear/png_options:0:1:16/format:png"
+    ),
     "op_edge_geometry": (
         "crop:0:0/resize:fit:280:0:0:1/extend:1:soea/background:abcdef/"
         "flip:1:1/rotate:180/format:uint8"
@@ -123,6 +130,14 @@ OP_CHAINS_EXTRA: dict[str, str] = {
     "op_format_quality_map": "format_quality:avif:40:png:90/format:avif",
     "op_bga_alpha": "background:10:20:30/background_alpha:0.5/padding:2/format:png",
     "op_effect_stack": "blur:1/sharpen:1/pixelate:3/brightness:-80/format:png",
+    # encoder-knob parity chains (round 4: palette fold + progressive scan)
+    "op_png_palette_default": "png_options:0:1/format:png",  # 256 colors
+    "op_png_palette_coarse": "crop:40:0/png_options:1:1:8/format:png",
+    "op_png_palette_off": "png_options:0:0:8/format:png",  # quantize off -> no-op
+    "op_jpeg_progressive": "jpeg_options:1/quality:90/format:jpeg",
+    "op_jpeg_progressive_odd": "crop:33:0/jpeg_options:1/format:jpeg",
+    "op_progressive_maxbytes": "quality:30/max_bytes:200/jpeg_options:1/format:jpeg",
+    "op_palette_maxbytes": "png_options:0:1:32/max_bytes:120/format:png",
 }
 
 _PRESETS = {"thumb": "resize:fit:48/quality:60/format:jpeg"}

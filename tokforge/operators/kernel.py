@@ -563,6 +563,41 @@ def op_quantize(t: np.ndarray, step: int) -> np.ndarray:
     return (t - (t % step)).astype(t.dtype)
 
 
+def op_palette(t: np.ndarray, colors: int) -> np.ndarray:
+    """PNG palette-quantization analog (reference: save.rs:99-110,
+    ``palette: png.quantize``, ``q: quantization_colors.min(256)``): fold
+    token values into K evenly-spaced palette cells over [0, VOCAB) and
+    emit each cell's center — the token twin of reducing an image to a
+    K-color palette.  K clamps to [2, 256]; values are clamped into the
+    vocab first so the fold is total."""
+    k = min(max(colors, 2), 256)
+    cell = VOCAB // k
+    c = np.clip(t, 0, VOCAB - 1)
+    bucket = np.minimum(c // cell, k - 1)
+    return (bucket * cell + cell // 2).astype(t.dtype)
+
+
+def op_progressive(t: np.ndarray) -> np.ndarray:
+    """JPEG progressive-scan analog (reference: save.rs:84,
+    ``interlace: save_jpeg_progressive()``): re-lay the sequence as a
+    coarse scan (even positions) followed by a detail scan (odd
+    positions) — the 1-D twin of progressive JPEG's multi-pass layout."""
+    return np.concatenate([t[0::2], t[1::2]])
+
+
+def _palette_colors(save) -> Optional[int]:
+    """K when the plan's png options request palette quantization, else
+    None (quantization_colors defaults to 256 like vips q=100 keeps the
+    full palette range)."""
+    if save is None or not save.png.get("quantize"):
+        return None
+    return int(save.png.get("quantization_colors") or 256)
+
+
+def _jpeg_progressive(save) -> bool:
+    return bool(save is not None and save.jpeg.get("progressive"))
+
+
 def apply_dtype_rule(t: np.ndarray, rule: str) -> np.ndarray:
     if rule == "saturate":
         return np.clip(t, INT16_MIN, INT16_MAX)
@@ -591,14 +626,25 @@ class EncodeResult:
     quality: int
 
 
-def op_encode(t: np.ndarray, fmt: str, quality: int, max_bytes: Optional[int]) -> EncodeResult:
-    """Format -> dtype recast + lossy quantization + max_bytes quality loop
-    (reference: save.rs:31-118)."""
+def op_encode(
+    t: np.ndarray,
+    fmt: str,
+    quality: int,
+    max_bytes: Optional[int],
+    save=None,
+) -> EncodeResult:
+    """Format -> dtype recast + lossy quantization + encoder knobs
+    (png palette fold, jpeg progressive layout) + max_bytes quality loop
+    (reference: save.rs:31-118).  Canonical stage order, shared verbatim
+    by the rect kernel and the SQL oracle:
+    quantize -> palette -> dtype rule -> progressive -> size."""
     fmt = fmt.lower()
     spec = FORMAT_SPECS.get(fmt)
     if spec is None:
         raise TransformError(f"Unsupported format: {fmt}")
     dtype, elem_bytes, lossy, rule = spec
+    palette_k = _palette_colors(save) if fmt == "png" else None
+    progressive = fmt in ("jpeg", "jpg") and _jpeg_progressive(save)
 
     q = min(max(quality, 1), 100)
     base = t.astype(np.int64)
@@ -607,7 +653,11 @@ def op_encode(t: np.ndarray, fmt: str, quality: int, max_bytes: Optional[int]) -
         out = base
         if lossy:
             out = op_quantize(out, quality_step(q))
+        if palette_k is not None:
+            out = op_palette(out, palette_k)
         out = apply_dtype_rule(out, rule)
+        if progressive:
+            out = op_progressive(out)
         return EncodeResult(out, dtype, encoded_size_bytes(out, elem_bytes), q)
 
     # Quality loop: re-encode at q-5 steps until size fits or q == 1
@@ -617,7 +667,11 @@ def op_encode(t: np.ndarray, fmt: str, quality: int, max_bytes: Optional[int]) -
         out = base
         if lossy or quality_now < q:
             out = op_quantize(out, quality_step(quality_now))
+        if palette_k is not None:
+            out = op_palette(out, palette_k)
         out = apply_dtype_rule(out, rule)
+        if progressive:
+            out = op_progressive(out)
         size = encoded_size_bytes(out, elem_bytes)
         if size <= max_bytes or quality_now <= 1:
             return EncodeResult(out, dtype, size, quality_now)
@@ -788,7 +842,7 @@ def apply_plan(
     quality = plan.quality
     if quality is None:
         quality = plan.save.format_quality.get(out_fmt.lower(), DEFAULT_QUALITY)
-    result = op_encode(t, out_fmt, quality, plan.save.max_bytes)
+    result = op_encode(t, out_fmt, quality, plan.save.max_bytes, plan.save)
     return TransformOutput(
         result.tokens.astype(np.int64),
         result.dtype,

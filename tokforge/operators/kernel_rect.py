@@ -34,6 +34,8 @@ from tokforge.constants import (
 )
 from tokforge.operators.kernel import (
     TransformError,
+    _jpeg_progressive,
+    _palette_colors,
     default_bg_token,
     gravity_offset,
     quality_step,
@@ -165,6 +167,15 @@ def _runs_per_row(mat: np.ndarray) -> np.ndarray:
     if mat.shape[1] == 0:
         return np.zeros(mat.shape[0], dtype=np.int64)
     return 1 + np.count_nonzero(mat[:, 1:] != mat[:, :-1], axis=1).astype(np.int64)
+
+
+def _palette_rect(mat: np.ndarray, colors: int) -> np.ndarray:
+    """Row-parallel kernel.op_palette (same expression order)."""
+    k = min(max(colors, 2), 256)
+    cell = VOCAB // k
+    c = np.clip(mat, 0, VOCAB - 1)
+    bucket = np.minimum(c // cell, k - 1)
+    return (bucket * cell + cell // 2).astype(mat.dtype)
 
 
 def _apply_dtype_rule_rect(mat: np.ndarray, rule: str) -> np.ndarray:
@@ -388,6 +399,16 @@ def apply_plan_rect(
     if quality is None:
         quality = plan.save.format_quality.get(fmt, DEFAULT_QUALITY)
     q = min(max(quality, 1), 100)
+    # encoder knobs (canonical order quantize -> palette -> rule ->
+    # progressive, same as kernel.op_encode / the SQL oracle)
+    palette_k = _palette_colors(plan.save) if fmt == "png" else None
+    progressive = fmt in ("jpeg", "jpg") and _jpeg_progressive(plan.save)
+    n_cols = t.shape[1]
+    prog_perm = (
+        np.concatenate([np.arange(0, n_cols, 2), np.arange(1, n_cols, 2)])
+        if progressive
+        else None
+    )
 
     if plan.save.max_bytes is None:
         out = t
@@ -395,7 +416,11 @@ def apply_plan_rect(
             step = quality_step(q)
             if step > 1:
                 out = out - (out % step)
+        if palette_k is not None:
+            out = _palette_rect(out, palette_k)
         out = _apply_dtype_rule_rect(out, rule)
+        if prog_perm is not None:
+            out = out[:, prog_perm]
         sizes = _runs_per_row(out) * elem_bytes
         return RectOutput(
             out, dtype, sizes, np.full(m, q, dtype=np.int32), fmt
@@ -419,7 +444,11 @@ def apply_plan_rect(
                 if step > 1:
                     e = e - (e % step)
             enc[mask_u] = e
+        if palette_k is not None:
+            enc = _palette_rect(enc, palette_k)
         enc = _apply_dtype_rule_rect(enc, rule)
+        if prog_perm is not None:
+            enc = enc[:, prog_perm]
         sz = _runs_per_row(enc) * elem_bytes
         done = (sz <= max_bytes) | (qs <= 1)
         idx_pending = np.nonzero(pending)[0]
