@@ -184,6 +184,12 @@ def main() -> None:
             Path(__file__).resolve().parent / "tokforge", Path(snap) / "tokforge"
         )
         os.environ["TOKFORGE_SNAPSHOT_DIR"] = snap
+        # PYTHONPATH too: Spark PYTHON WORKERS resolve tokforge through the
+        # inherited environment, not the driver's sys.path — without this
+        # the workers would import /root/repo mid-edit
+        os.environ["PYTHONPATH"] = snap + (
+            ":" + os.environ["PYTHONPATH"] if os.environ.get("PYTHONPATH") else ""
+        )
         sys.path.insert(0, snap)
     pair_results = []
     raw_launches: list[dict] = []

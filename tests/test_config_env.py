@@ -49,3 +49,32 @@ def test_env_config_is_picklable_for_udf_closures():
 
     cfg = EngineConfig.from_env({"TOKFORGE_BEARER_TOKEN": "x"})
     assert pickle.loads(pickle.dumps(cfg)) == cfg
+
+
+def test_state_store_tier_from_env():
+    assert EngineConfig.from_env({}).state_store == "hdfs"
+    assert (
+        EngineConfig.from_env({"TOKFORGE_STATE_STORE": "RocksDB"}).state_store
+        == "rocksdb"
+    )
+
+
+def test_apply_state_store_sets_and_clears_provider(spark):
+    from tokforge.engine.session import ROCKSDB_PROVIDER, apply_state_store
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    apply_state_store(spark, "rocksdb")
+    assert spark.conf.get(key) == ROCKSDB_PROVIDER
+    assert (
+        spark.conf.get(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        )
+        == "true"
+    )
+    apply_state_store(spark, "hdfs")
+    assert "RocksDB" not in spark.conf.get(key)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        apply_state_store(spark, "foyer")

@@ -730,3 +730,48 @@ def test_partitioned_sink_commits_and_prunes(spark, tmp_path):
     flat_sink(batch, 0)
     flat = read_sink(spark, flat_dir)
     assert flat.count() == 12 and "batch_id" in flat.columns
+
+
+def test_cache_state_on_rocksdb_provider(spark, tmp_path):
+    """The disk state-store tier (reference: the foyer hybrid cache,
+    caching/cache.rs:258-327): the IDENTICAL cache pipeline runs on
+    RocksDBStateStoreProvider with changelog checkpointing and produces
+    the same hit/miss ledger as the in-heap provider.  Skips cleanly if
+    the sandbox's Spark build lacks the RocksDB JNI."""
+    from tokforge.engine.session import ROCKSDB_PROVIDER, apply_state_store
+
+    in_path, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    req = _signed_requests(spark, limit=20)
+    _write_drops(spark, req, in_path, n=3)
+
+    apply_state_store(spark, "rocksdb")
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        == ROCKSDB_PROVIDER
+    )
+    try:
+        query, sink = transform_stream(
+            spark, in_path, out_dir, ckpt, CFG, verify=True, available_now=True
+        )
+        _finish(query)
+    except Exception as exc:  # pragma: no cover - environment-dependent
+        pytest.skip(f"RocksDB provider unavailable in this build: {exc}")
+    finally:
+        apply_state_store(spark, "hdfs")
+
+    per_key = (
+        read_sink(spark, out_dir)
+        .groupBy("cache_key")
+        .agg(
+            F.sum(F.when(F.col("cache_status") == "MISS", 1).otherwise(0)).alias("miss"),
+            F.sum(F.when(F.col("cache_status") == "HIT", 1).otherwise(0)).alias("hit"),
+        )
+        .collect()
+    )
+    assert len(per_key) == 20
+    for r in per_key:
+        assert r["miss"] == 1 and r["hit"] == 2, r

@@ -28,6 +28,12 @@ class EngineConfig:
     # Source-type allowlist (reference: service.rs:500-510 MIME allowlist):
     # when set, rows whose src_dtype is not listed are rejected.
     allowed_src_dtypes: tuple[str, ...] | None = None
+    # Streaming state-store tier (reference: the foyer memory/disk/hybrid
+    # cache, caching/cache.rs:258-327): "hdfs" = default in-heap provider
+    # (memory tier), "rocksdb" = RocksDBStateStoreProvider (disk tier with
+    # changelog checkpointing) — the 100 TB story for state larger than
+    # executor heap.  Applied by session.apply_state_store / build_spark.
+    state_store: str = "hdfs"
 
     @property
     def key(self) -> bytes:
@@ -96,6 +102,7 @@ class EngineConfig:
             ),
             bearer_token=e.get("TOKFORGE_BEARER_TOKEN", d.bearer_token),
             allowed_src_dtypes=allowed if allowed is not None else d.allowed_src_dtypes,
+            state_store=e.get("TOKFORGE_STATE_STORE", d.state_store).strip().lower(),
         )
 
 

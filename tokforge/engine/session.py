@@ -13,10 +13,38 @@ import os
 from pyspark.sql import SparkSession
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def apply_state_store(spark: SparkSession, state_store: str) -> None:
+    """Select the streaming state-store tier (read at stream START, so a
+    runtime conf works): "hdfs" keeps the default in-heap provider, the
+    memory tier of the reference's foyer cache (caching/cache.rs:258-327);
+    "rocksdb" switches to the disk tier — RocksDB with changelog
+    checkpointing, the provider for state that outgrows executor heap
+    (the 10^12-key cache table of the north rule)."""
+    if state_store == "rocksdb":
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+        # changelog checkpointing ships per-batch deltas instead of full
+        # RocksDB snapshots — the knob that makes disk-tier state viable
+        # at scale
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
+    elif state_store in ("hdfs", "", None):
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    else:
+        raise ValueError(f"unknown state_store tier: {state_store!r}")
+
+
 def build_spark(
     app_name: str = "tokforge",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    state_store: str | None = None,
 ) -> SparkSession:
     # Keep numpy buffers heap-resident in every child process (see
     # tokforge/operators/alloc.py); must be in the env before the JVM forks
@@ -42,7 +70,11 @@ def build_spark(
         .config("spark.driver.memory", os.environ.get("TOKFORGE_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    tier = state_store or os.environ.get("TOKFORGE_STATE_STORE")
+    if tier:
+        apply_state_store(spark, tier.strip().lower())
+    return spark
 
 
 def tune_existing(spark: SparkSession) -> SparkSession:
