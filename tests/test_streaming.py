@@ -678,12 +678,22 @@ def test_rejected_rows_dead_letter_sink(spark, tmp_path):
     # (availableNow awaits termination inside transform_stream — no sleep)
     assert sink.rejected_query is not None and not sink.rejected_query.isActive
     accepted = read_sink(spark, out_dir)
-    rejected = spark.read.option("recursiveFileLookup", "true").parquet(f"{rej}/data")
+    # the dead-letter sink partitions by status CLASS (service.rs
+    # taxonomy); auto-detection reads the partitioned layout
+    rejected = read_sink(spark, rej)
     acc_ids = {int(r["doc_id"]) for r in accepted.select("doc_id").collect()}
     rej_ids = {int(r["doc_id"]) for r in rejected.select("doc_id").collect()}
     assert all(d % 2 == 1 for d in acc_ids) and all(d % 2 == 0 for d in rej_ids)
     assert len(acc_ids) + len(rej_ids) == 10
-    assert rejected.select("status").distinct().collect()[0][0] == "403"
+    assert int(rejected.select("status").distinct().collect()[0][0]) == 403
+    # a status filter must prune partitions, not scan them
+    plan = (
+        rejected.filter(F.col("status") == 403)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
 
 
 def test_partitioned_sink_commits_and_prunes(spark, tmp_path):

@@ -117,3 +117,39 @@ def test_output_shaping_columns_both_paths(spark):
                 assert r["content_disposition"] == cd, (chain, path_fn)
                 expect = 1 + int(r["doc_id"]) % 8 if meta == "orig" else meta
                 assert r["meta_orientation"] == expect, (chain, path_fn, r)
+
+
+def test_status_taxonomy_both_paths(spark):
+    """The status column mirrors the reference's error classes
+    (service.rs:676-800): 403 bad signature, 404 expired, 400 other
+    errors, 200 OK — identical in both execution paths and equal to the
+    scalar mapping."""
+    from tokforge.engine.config import EngineConfig
+    from tokforge.engine.transform import (
+        make_sign_udf,
+        status_for_error,
+        transform_requests,
+    )
+    from tokforge.engine.transform_arrow import transform_requests_arrow
+    from tokforge.sources.requests import requests_df
+
+    cfg = EngineConfig()
+    # expires = EPOCH+10s: docs with doc_id%7200 > 10 expire (most of 30)
+    chain = "expires:1704067210/crop:10:0/format:int32"
+    req = requests_df(spark, "/root/testdata/sf0.001", chain).limit(30)
+    sign = make_sign_udf(cfg)
+    d = F.col("doc_id").cast("long")
+    req = req.withColumn(
+        "sig",
+        F.when(d % 5 == 0, F.lit("bad-signature")).otherwise(
+            sign(F.col("ops"), F.col("doc_id"))
+        ),
+    )
+    for path_fn in (transform_requests, transform_requests_arrow):
+        rows = path_fn(req, cfg, verify=True).collect()
+        seen = set()
+        for r in rows:
+            expect = status_for_error(r["error"], r["sig_valid"])
+            assert r["status"] == expect, (path_fn, r)
+            seen.add(r["status"])
+        assert {200, 403, 404} <= seen

@@ -194,15 +194,22 @@ def q_sig_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(d % 10 == 3, F.concat(sign(F.col("ops"), F.col("doc_id")), F.lit("x")))
         .otherwise(sign(F.col("ops"), F.col("doc_id"))),
     )
-    return req.select(
+    out = req.select(
         "doc_id",
         verify(F.col("sig"), F.col("ops"), F.col("doc_id")).alias("sig_valid"),
+    )
+    # status taxonomy: 403 on signature failure (service.rs:468)
+    return out.withColumn(
+        "status",
+        F.when(F.col("sig_valid"), F.lit(200)).otherwise(F.lit(403)).cast("int"),
     )
 
 
 SQL_SIG_VALIDATE = f"""WITH {sql_requests_cte()}
 SELECT doc_id,
-       (doc_num % 17 != 0 AND doc_num % 10 != 3) AS sig_valid
+       (doc_num % 17 != 0 AND doc_num % 10 != 3) AS sig_valid,
+       CAST(CASE WHEN doc_num % 17 != 0 AND doc_num % 10 != 3
+                 THEN 200 ELSE 403 END AS INTEGER) AS status
 FROM req"""
 
 
@@ -326,11 +333,13 @@ def q_admission_expires(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id",
         F.col("error").eqNullSafe(F.lit("Request expired")).alias("expired"),
+        "status",  # 404 for expiry (service.rs:656 NOT_FOUND)
     )
 
 
 SQL_ADMISSION_EXPIRES = f"""WITH {sql_requests_cte()}
-SELECT doc_id, (doc_num % 7200) > 3600 AS expired
+SELECT doc_id, (doc_num % 7200) > 3600 AS expired,
+       CAST(CASE WHEN (doc_num % 7200) > 3600 THEN 404 ELSE 200 END AS INTEGER) AS status
 FROM req"""
 
 _LIMITS_CHAIN = "max_src_file_size:512/crop:10:0/format:int32"
@@ -343,11 +352,13 @@ def q_admission_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id",
         F.col("error").eqNullSafe(F.lit("Source image is too large")).alias("rejected"),
+        "status",  # 400 for the size cap (service.rs:494 BAD_REQUEST)
     )
 
 
 SQL_ADMISSION_LIMITS = f"""WITH {sql_requests_cte()}
-SELECT doc_id, (n_tok * 4 > 512) AS rejected
+SELECT doc_id, (n_tok * 4 > 512) AS rejected,
+       CAST(CASE WHEN n_tok * 4 > 512 THEN 400 ELSE 200 END AS INTEGER) AS status
 FROM req"""
 
 
@@ -450,6 +461,7 @@ def q_admission_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         "fmt",
         "error",
+        "status",  # 400 for the MIME-allowlist reject (service.rs:505)
     )
 
 
@@ -481,7 +493,8 @@ SELECT doc_id,
             WHEN doc_num % 3 = 1 THEN 'int16'
             ELSE 'int32' END AS fmt,
        CASE WHEN doc_num % 3 = 2 THEN 'Source type not allowed'
-            ELSE NULL END AS error
+            ELSE NULL END AS error,
+       CAST(CASE WHEN doc_num % 3 = 2 THEN 400 ELSE 200 END AS INTEGER) AS status
 FROM req
 WHERE doc_num % 5 <> 0"""
 

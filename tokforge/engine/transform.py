@@ -234,6 +234,42 @@ def make_sign_udf(config: EngineConfig = DEFAULT_CONFIG):
     return sign_udf
 
 
+# Reference status taxonomy (service.rs:676-800 tests): FORBIDDEN for
+# signature/bearer failures (:438-468), NOT_FOUND for expiry (:656),
+# BAD_REQUEST for parse / limits / MIME / processing errors (:450-547),
+# OK otherwise.  One int column so the dead-letter channel can partition
+# by class and ops dashboards can count per-status.
+STATUS_OK = 200
+STATUS_BAD_REQUEST = 400
+STATUS_FORBIDDEN = 403
+STATUS_NOT_FOUND = 404
+
+
+def status_for_error(error: "str | None", sig_valid: bool = True) -> int:
+    """Scalar reference for :func:`status_code_col` (tests assert parity)."""
+    if not sig_valid:
+        return STATUS_FORBIDDEN
+    if error is None:
+        return STATUS_OK
+    if error == "Request expired":
+        return STATUS_NOT_FOUND
+    return STATUS_BAD_REQUEST
+
+
+def status_code_col(
+    sig_valid: str = "sig_valid", error: str = "error"
+) -> Column:
+    """Pure-JVM status-class column over the transform output (stays in
+    whole-stage codegen — no Python in the taxonomy path)."""
+    return (
+        F.when(~F.col(sig_valid), F.lit(STATUS_FORBIDDEN))
+        .when(F.col(error).isNull(), F.lit(STATUS_OK))
+        .when(F.col(error) == "Request expired", F.lit(STATUS_NOT_FOUND))
+        .otherwise(F.lit(STATUS_BAD_REQUEST))
+        .cast("int")
+    )
+
+
 def admit_bearer(df: DataFrame, config: EngineConfig) -> DataFrame:
     """Bearer-secret admission gate (reference: service.rs:432-446): a
     constant-token filter evaluated JVM-side before any Python work.
@@ -303,4 +339,4 @@ def transform_requests(
         F.col("result.content_disposition").alias("content_disposition"),
         F.col("result.meta_orientation").alias("meta_orientation"),
         F.col("result.error").alias("error"),
-    )
+    ).withColumn("status", status_code_col())

@@ -267,4 +267,10 @@ def transform_requests_arrow(
         for batch in batches:
             yield _transform_record_batch(batch, config)
 
-    return df.mapInArrow(fn, OUTPUT_SCHEMA_DDL)
+    from tokforge.engine.transform import status_code_col
+
+    # status class is derived JVM-side from (sig_valid, error) — zero cost
+    # inside the Arrow pass, identical to the pandas path
+    return df.mapInArrow(fn, OUTPUT_SCHEMA_DDL).withColumn(
+        "status", status_code_col()
+    )

@@ -56,10 +56,21 @@ def transform_stream(
             "sig_valid", verify_udf(F.col("sig"), F.col("ops"), F.col("doc_id"))
         )
         if rejected_dir is not None:
+            # status class via the shared taxonomy (service.rs:676-800):
+            # the dead-letter sink partitions on it, so per-class replay /
+            # alerting reads prune whole directories
+            from tokforge.engine.transform import STATUS_FORBIDDEN
+
             rejected = stream.filter(~F.col("sig_valid")).select(
-                "doc_id", "source", "ts", "ops", F.lit("403").alias("status")
+                "doc_id",
+                "source",
+                "ts",
+                "ops",
+                F.lit(STATUS_FORBIDDEN).cast("int").alias("status"),
             )
-            rejected_sink = IdempotentParquetSink(rejected_dir)
+            rejected_sink = IdempotentParquetSink(
+                rejected_dir, partition_cols=("status",)
+            )
             rej_writer = (
                 rejected.writeStream.foreachBatch(rejected_sink)
                 .option("checkpointLocation", rejected_dir + "/_ckpt")
