@@ -163,6 +163,11 @@ def q_stream_ratelimit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = tempfile.mkdtemp(prefix="tokforge-q-stream-rl-")
     req = requests_df(spark, sf_dir, _CHAIN)
+    # GATE FIXTURE ONLY: coalesce(1) pins a global deterministic order so
+    # the DuckDB oracle can replay it.  The production path
+    # (ratelimit.with_rate_limit) orders within each source key and needs
+    # no global order — do NOT copy this coalesce into a real job; at
+    # scale it would serialize the whole scan through one task.
     req.coalesce(1).write.mode("append").parquet(f"{tmp}/in/drop=0")
     query, _ = ratelimit_stream(
         spark,
