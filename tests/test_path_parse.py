@@ -215,7 +215,9 @@ def test_signing_roundtrip_on_path_to_sign():
 
 
 def test_gated_query_shape(spark):
-    """The driver row: parses, yields one row per doc, scalar-only cols."""
+    """The driver row: builds signed envelopes, parses them back, and
+    verifies the extracted signature over the extracted path_to_sign —
+    sig_ok must match the corruption pattern exactly."""
     from tokforge.engine.queries import q_path_parse
 
     out = q_path_parse(spark, "/root/testdata/sf0.001")
@@ -223,7 +225,13 @@ def test_gated_query_shape(spark):
     assert len(rows) > 0
     by_valid = [r for r in rows if not r["valid"]]
     assert by_valid and all(r["error"] == INVALID_URL for r in by_valid)
+    assert all(r["sig_ok"] is None for r in by_valid)
     ok = [r for r in rows if r["valid"]]
     assert all(r["source_url"].startswith("https://cdn.example.com/") for r in ok)
     kinds = {r["source_kind"] for r in ok}
     assert kinds == {"plain", "base64"}
+    for r in ok:
+        d = int(r["doc_id"])
+        expect = not (d % 6 == 5 or d % 9 == 4)  # unsafe / corrupted rejected
+        assert r["sig_ok"] == expect, r
+    assert any(r["sig_ok"] for r in ok) and any(not r["sig_ok"] for r in ok)

@@ -13,6 +13,8 @@ from __future__ import annotations
 import base64
 from typing import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -223,12 +225,28 @@ FROM req"""
 
 
 def q_path_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build one path string per document cycling through the envelope
-    grammar (multipart plain, plain@ext, percent-encoded plain, base64,
-    base64.ext, unsafe/no-options; doc_id%13==0 rows are truncated to a
-    single segment -> invalid), then parse it back with the column-
-    expression parser.  Whole-stage-codegen end to end — no UDF."""
+    """The FULL envelope flow, end to end: build one path string per
+    document cycling through the grammar (multipart plain, plain@ext,
+    percent-encoded plain, base64, base64.ext, unsafe/no-options;
+    doc_id%13==0 rows are truncated to a single segment -> invalid), sign
+    the rest-of-path with the REAL HMAC (service.rs:475-477
+    build_path_to_sign; doc_id%9==4 signatures are corrupted), embed the
+    signature as the first segment, parse it all back with the pure-JVM
+    column parser, and verify the extracted signature against the
+    extracted path_to_sign (url.rs:60-72).  `sig_ok` is therefore true
+    iff BOTH the parser split the envelope exactly right AND the HMAC
+    round-trips — the oracle checks the validity pattern, which pins
+    more than echoing the signature string would."""
+    from tokforge.functions.signing import sign_path_series, validate_path_series
     from tokforge.plans.path import parse_path_col
+
+    @F.pandas_udf("string")
+    def sign_udf(path: pd.Series) -> pd.Series:
+        return sign_path_series(CONFIG.key, CONFIG.salt, path)
+
+    @F.pandas_udf("boolean")
+    def verify_udf(sig: pd.Series, path: pd.Series) -> pd.Series:
+        return validate_path_series(CONFIG.key, CONFIG.salt, sig, path)
 
     docs = load_documents(spark, sf_dir).select("doc_id", "source")
     d = F.col("doc_id").cast("long")
@@ -237,7 +255,6 @@ def q_path_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("https://cdn.example.com/"), F.col("source"), F.lit("/doc"),
         ds, F.lit(".jpg"),
     )
-    sig = F.concat(F.lit("sig"), ds)
     b64 = F.translate(
         F.regexp_replace(F.base64(F.encode(url, "UTF-8")), "=+$", ""), "+/", "-_"
     )
@@ -255,27 +272,65 @@ def q_path_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(""))
     )
     slash = F.lit("/")
-    path = (
-        F.when(d % 13 == 0, sig)  # too short -> invalid (url.rs:78-80)
-        .when(c == 0, F.concat(sig, slash, ops, F.lit("/plain/"), url))
-        .when(c == 1, F.concat(sig, slash, ops, F.lit("/plain/"), url, F.lit("@webp")))
-        .when(c == 2, F.concat(sig, slash, ops, F.lit("/plain/"), enc))
-        .when(c == 3, F.concat(sig, slash, ops, slash, b64))
-        .when(c == 4, F.concat(sig, slash, ops, slash, b64, F.lit(".avif")))
-        .otherwise(F.concat(F.lit("unsafe/plain/"), url))
+    rest = (
+        F.when(c == 0, F.concat(ops, F.lit("/plain/"), url))
+        .when(c == 1, F.concat(ops, F.lit("/plain/"), url, F.lit("@webp")))
+        .when(c == 2, F.concat(ops, F.lit("/plain/"), enc))
+        .when(c == 3, F.concat(ops, slash, b64))
+        .when(c == 4, F.concat(ops, slash, b64, F.lit(".avif")))
+        .otherwise(F.concat(F.lit("plain/"), url))
     )
-    parsed = docs.select(ds.alias("doc_id"), parse_path_col(path).alias("p"))
-    return parsed.select("doc_id", "p.*")
+    signed = sign_udf(F.concat(slash, rest))
+    sig = F.when(d % 9 == 4, F.concat(signed, F.lit("x"))).otherwise(signed)
+    path = (
+        F.when(d % 13 == 0, F.concat(F.lit("sig"), ds))  # too short (url.rs:78-80)
+        .when(c == 5, F.concat(F.lit("unsafe/"), rest))
+        .otherwise(F.concat(sig, slash, rest))
+    )
+    # Materialize the synthesized (doc_id, path) fixture before parsing:
+    # the parser fans the path expression into ~10 struct fields, and with
+    # the sign UDF embedded Catalyst's project-collapse re-inlines the
+    # whole construction tree into every field (optimizer blow-up measured
+    # at minutes even at sf0.001).  Production parses paths that already
+    # EXIST as a storage column — this write recreates that shape, exactly
+    # like the streaming gate queries materialize their input drops.
+    import tempfile
+
+    built = docs.select(ds.alias("doc_id"), path.alias("path"))
+    tmp = tempfile.mkdtemp(prefix="tokforge-pathparse-") + "/paths"
+    built.write.mode("overwrite").parquet(tmp)
+    paths = spark.read.parquet(tmp)
+    parsed = paths.select("doc_id", parse_path_col(F.col("path")).alias("p"))
+    p = F.col("p")
+    sig_ok = (
+        F.when(~p["valid"], F.lit(None).cast("boolean"))
+        # unsigned passes only when the deployment allows it — it doesn't
+        # here (service.rs:453-460, allow_unsigned=False)
+        .when(p["signature"] == "unsafe", F.lit(CONFIG.allow_unsigned))
+        .otherwise(verify_udf(p["signature"], p["path_to_sign"]))
+    )
+    return parsed.select(
+        "doc_id",
+        p["valid"].alias("valid"),
+        p["ops"].alias("ops"),
+        p["ext"].alias("ext"),
+        p["ops_full"].alias("ops_full"),
+        p["source_kind"].alias("source_kind"),
+        p["source_raw"].alias("source_raw"),
+        p["source_url"].alias("source_url"),
+        p["path_to_sign"].alias("path_to_sign"),
+        p["error"].alias("error"),
+        sig_ok.alias("sig_ok"),
+    )
 
 
 SQL_PATH_PARSE = """WITH base AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id AS d,
          'https://cdn.example.com/' || source || '/doc'
-            || CAST(doc_id AS VARCHAR) || '.jpg' AS url,
-         'sig' || CAST(doc_id AS VARCHAR) AS sig
+            || CAST(doc_id AS VARCHAR) || '.jpg' AS url
   FROM documents
 ), built AS (
-  SELECT doc_id, d, url, sig,
+  SELECT doc_id, d, url,
     CASE d % 6
       WHEN 0 THEN 'resize:fit:' || CAST(32 + d % 64 AS VARCHAR) || '/quality:80'
       WHEN 1 THEN 'resize:fill:100:50'
@@ -288,20 +343,18 @@ SQL_PATH_PARSE = """WITH base AS (
   FROM base
 ), built2 AS (
   SELECT *,
-    CASE WHEN d % 13 = 0 THEN sig
-      WHEN d % 6 = 0 THEN sig || '/' || ops || '/plain/' || url
-      WHEN d % 6 = 1 THEN sig || '/' || ops || '/plain/' || url || '@webp'
-      WHEN d % 6 = 2 THEN sig || '/' || ops || '/plain/' || enc
-      WHEN d % 6 = 3 THEN sig || '/' || ops || '/' || b64
-      WHEN d % 6 = 4 THEN sig || '/' || ops || '/' || b64 || '.avif'
-      ELSE 'unsafe/plain/' || url END AS path,
+    CASE
+      WHEN d % 6 = 0 THEN ops || '/plain/' || url
+      WHEN d % 6 = 1 THEN ops || '/plain/' || url || '@webp'
+      WHEN d % 6 = 2 THEN ops || '/plain/' || enc
+      WHEN d % 6 = 3 THEN ops || '/' || b64
+      WHEN d % 6 = 4 THEN ops || '/' || b64 || '.avif'
+      ELSE 'plain/' || url END AS rest,
     CASE WHEN d % 6 = 1 THEN 'webp' WHEN d % 6 = 4 THEN 'avif' END AS x_ext
   FROM built
 )
 SELECT doc_id,
   d % 13 <> 0 AS valid,
-  CASE WHEN d % 13 = 0 THEN NULL
-       WHEN d % 6 = 5 THEN 'unsafe' ELSE sig END AS signature,
   CASE WHEN d % 13 = 0 THEN NULL ELSE ops END AS ops,
   CASE WHEN d % 13 = 0 THEN NULL ELSE x_ext END AS ext,
   CASE WHEN d % 13 = 0 THEN NULL
@@ -313,9 +366,15 @@ SELECT doc_id,
        WHEN d % 6 = 2 THEN enc
        WHEN d % 6 IN (3, 4) THEN b64 ELSE url END AS source_raw,
   CASE WHEN d % 13 = 0 THEN NULL ELSE url END AS source_url,
+  CASE WHEN d % 13 = 0 THEN NULL ELSE '/' || rest END AS path_to_sign,
+  CASE WHEN d % 13 = 0 THEN 'Invalid URL format' END AS error,
+  -- the HMAC itself cannot be recomputed in SQL; its VALIDITY pattern can:
+  -- unsafe rows are rejected (allow_unsigned off), corrupted d%9==4 rows
+  -- fail verification, every other valid row round-trips
   CASE WHEN d % 13 = 0 THEN NULL
-       ELSE substr(path, strpos(path, '/')) END AS path_to_sign,
-  CASE WHEN d % 13 = 0 THEN 'Invalid URL format' END AS error
+       WHEN d % 6 = 5 THEN FALSE
+       WHEN d % 9 = 4 THEN FALSE
+       ELSE TRUE END AS sig_ok
 FROM built2"""
 
 

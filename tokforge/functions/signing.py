@@ -47,6 +47,34 @@ def sign_series(key: bytes, salt: bytes, ops: pd.Series, doc_id: pd.Series) -> p
     return pd.Series(out)
 
 
+def sign_path_series(key: bytes, salt: bytes, path: pd.Series) -> pd.Series:
+    """Sign ARBITRARY path strings (the full-envelope flow: the message is
+    build_path_to_sign's output, service.rs:475-477)."""
+    vals = path.to_numpy(dtype=object)
+    out = np.empty(len(vals), dtype=object)
+    for i in range(len(out)):
+        out[i] = sign_path(key, salt, vals[i])
+    return pd.Series(out)
+
+
+def validate_path_series(
+    key: bytes, salt: bytes, sig: pd.Series, path: pd.Series
+) -> pd.Series:
+    """Verify signatures over arbitrary path strings (url.rs:60-72)."""
+    sig_vals = sig.to_numpy(dtype=object)
+    path_vals = path.to_numpy(dtype=object)
+    out = np.empty(len(sig_vals), dtype=bool)
+    for i in range(len(out)):
+        s, pth = sig_vals[i], path_vals[i]
+        # Spark evaluates extracted python UDFs unconditionally even when
+        # they sit inside a CASE branch — nulls must not crash the batch
+        if s is None or pth is None:
+            out[i] = False
+            continue
+        out[i] = validate_signature(key, salt, s, pth)
+    return pd.Series(out)
+
+
 def verify_series(
     key: bytes,
     salt: bytes,
