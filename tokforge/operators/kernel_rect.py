@@ -78,29 +78,58 @@ def _resample_rect(mat: np.ndarray, target: int, algorithm: str | None) -> np.nd
     algo = (algorithm or "nearest").lower()
     if algo == "nearest":
         return mat[:, _resample_idx(n, target)]
+    # The weighted sums below run with `out=`-reused buffers: same
+    # left-associated IEEE expression order as kernel.resample (in-place
+    # a*b / a+b produce the identical doubles), ~3x fewer full-size
+    # float64 temporaries — this path is bandwidth-bound at high core
+    # counts and the gather/accumulate traffic was most of it.
     lo, frac = resample_weights(n, target)
     td = mat.astype(np.float64)
+    m = mat.shape[0]
+    scratch = np.empty((m, target), dtype=np.float64)
     if algo == "linear":
         hi = np.minimum(lo + 1, n - 1)
-        val = td[:, lo] + (td[:, hi] - td[:, lo]) * frac
-        return np.floor(val + 0.5).astype(mat.dtype)
+        a = np.take(td, lo, axis=1)
+        val = np.take(td, hi, axis=1, out=scratch)
+        np.subtract(val, a, out=val)
+        np.multiply(val, frac, out=val)
+        np.add(val, a, out=val)  # addition commutes bit-exactly
+        np.add(val, 0.5, out=val)
+        np.floor(val, out=val)
+        return val.astype(mat.dtype)
     if algo == "cubic":
         (w0, w1, w2, w3), (p0, p1, p2, p3) = catmull_rom_taps(n, lo, frac)
-        val = w0 * td[:, p0] + w1 * td[:, p1] + w2 * td[:, p2] + w3 * td[:, p3]
-        out = np.floor(val + 0.5).astype(np.int64)
-        return np.clip(out, 0, VOCAB - 1).astype(mat.dtype)
+        val = np.take(td, p0, axis=1)
+        np.multiply(val, w0, out=val)
+        for w, p in ((w1, p1), (w2, p2), (w3, p3)):
+            np.take(td, p, axis=1, out=scratch)
+            np.multiply(scratch, w, out=scratch)
+            np.add(val, scratch, out=val)
+        np.add(val, 0.5, out=val)
+        np.floor(val, out=val)
+        out = val.astype(np.int64)
+        np.clip(out, 0, VOCAB - 1, out=out)
+        return out.astype(mat.dtype)
     if algo in LANCZOS_A:
         weights, taps = lanczos_taps(n, target, LANCZOS_A[algo])
         with np.errstate(invalid="ignore"):
-            num = weights[0] * td[:, taps[0]]
+            num = np.take(td, taps[0], axis=1)
+            np.multiply(num, weights[0], out=num)
             den = weights[0]
             for w, p in zip(weights[1:], taps[1:]):
-                num = num + w * td[:, p]
+                np.take(td, p, axis=1, out=scratch)
+                np.multiply(scratch, w, out=scratch)
+                np.add(num, scratch, out=num)
                 den = den + w
-            val = num / den
-        val = np.where(frac == 0.0, td[:, lo], val)
-        out = np.floor(val + 0.5).astype(np.int64)
-        return np.clip(out, 0, VOCAB - 1).astype(mat.dtype)
+            np.divide(num, den, out=num)
+        zero_frac = frac == 0.0
+        if zero_frac.any():
+            num[:, zero_frac] = td[:, lo[zero_frac]]
+        np.add(num, 0.5, out=num)
+        np.floor(num, out=num)
+        out = num.astype(np.int64)
+        np.clip(out, 0, VOCAB - 1, out=out)
+        return out.astype(mat.dtype)
     raise TransformError(f"Invalid resizing algorithm: {algo}")
 
 
@@ -140,21 +169,35 @@ def _exif_rect(mat: np.ndarray, orientations: np.ndarray) -> np.ndarray:
 
 
 def _moving_mean_rect(mat: np.ndarray, window: int) -> np.ndarray:
-    """Replicate-padded moving mean along axis 1, floor(x+0.5) rounded."""
+    """Replicate-padded moving mean along axis 1, floor(x+0.5) rounded.
+
+    The rounding is INTEGER-EXACT: for integer sum s >= 0 and window w,
+    floor(s/w + 0.5) == (2s + w) // (2w).  (At the boundary 2s = w(2k-1)
+    the real value (2k-1)/2 is dyadic, so the float division the per-row
+    kernel / SQL oracle performs is exact there too; off the boundary the
+    value is >= 1/(2w) from the cutoff, far beyond double rounding error.
+    tests/test_kernel_rect + the property fuzz pin the equality.)  Doing
+    it in int64 avoids three full-size float64 temporaries — this op is
+    memory-bandwidth-bound at high core counts."""
     m, n = mat.shape
     if n == 0 or window <= 1:
         return mat.copy()
     h = window // 2
-    padded = np.concatenate(
-        [np.repeat(mat[:, :1], h, axis=1), mat, np.repeat(mat[:, -1:], h, axis=1)],
-        axis=1,
-    )
-    csum = np.concatenate(
-        [np.zeros((m, 1), dtype=np.int64), np.cumsum(padded, axis=1, dtype=np.int64)],
-        axis=1,
-    )
-    sums = csum[:, window:] - csum[:, :-window]
-    return np.floor(sums / float(window) + 0.5).astype(np.int32)
+    # one int64 buffer: replicate-pad, then cumsum in place
+    padded = np.empty((m, n + 2 * h), dtype=np.int64)
+    padded[:, :h] = mat[:, :1]
+    padded[:, h : h + n] = mat
+    padded[:, h + n :] = mat[:, -1:]
+    np.cumsum(padded, axis=1, out=padded)
+    # c[j] = sum(p[:j+1]); window sum_j = c[j+w-1] - (c[j-1] if j else 0)
+    sums = np.empty((m, n), dtype=np.int64)
+    sums[:, 0] = padded[:, window - 1]
+    np.subtract(padded[:, window:], padded[:, : n - 1], out=sums[:, 1:])
+    # floor(s/w + 0.5) via integers, in place
+    np.multiply(sums, 2, out=sums)
+    sums += window
+    sums //= 2 * window
+    return sums.astype(np.int32)
 
 
 def _row_means_floor(mat: np.ndarray) -> np.ndarray:
@@ -321,38 +364,48 @@ def apply_plan_rect(
     if plan.flip is not None and plan.flip.horizontal:
         t = t[:, ::-1]
 
+    # Effects run with in-place numpy (`out=` reuse) — the chain is
+    # memory-bandwidth-bound at high core counts, so every avoided
+    # full-size temporary is parallel headroom.  Expression ORDER is kept
+    # identical to kernel.py / the SQL oracle (bit-exactness invariant).
     if plan.adjust is not None:
         if plan.adjust.brightness != 0:
             t = np.clip(t + plan.adjust.brightness, 0, VOCAB - 1)
         if abs(plan.adjust.contrast - 1.0) > 1e-9:
             mm = _row_means_floor(t)[:, None]
-            t = np.clip(
-                mm
-                + np.floor(
-                    plan.adjust.contrast * (t.astype(np.float64) - mm) + 0.5
-                ).astype(np.int64),
-                0,
-                VOCAB - 1,
-            ).astype(np.int32)
+            td = t.astype(np.float64)  # c * (t - mm) + 0.5, floored
+            np.subtract(td, mm, out=td)
+            np.multiply(td, plan.adjust.contrast, out=td)
+            np.add(td, 0.5, out=td)
+            np.floor(td, out=td)
+            out_i = mm + td.astype(np.int64)
+            np.clip(out_i, 0, VOCAB - 1, out=out_i)
+            t = out_i.astype(np.int32)
         if abs(plan.adjust.saturation - 1.0) > 1e-9:
             s = plan.adjust.saturation
             mm = _row_means_floor(t)[:, None].astype(np.float64)
-            t = np.clip(
-                np.floor(s * t.astype(np.float64) + (1.0 - s) * mm + 0.5).astype(
-                    np.int32
-                ),
-                0,
-                VOCAB - 1,
-            )
+            td = t.astype(np.float64)  # s*t + (1-s)*mm + 0.5, floored
+            np.multiply(td, s, out=td)
+            np.add(td, (1.0 - s) * mm, out=td)
+            np.add(td, 0.5, out=td)
+            np.floor(td, out=td)
+            ti = td.astype(np.int32)
+            np.clip(ti, 0, VOCAB - 1, out=ti)
+            t = ti
 
     if plan.blur is not None:
         window = 2 * math.ceil(plan.blur) + 1
-        t = np.clip(_moving_mean_rect(t, window), 0, VOCAB - 1)
+        t = _moving_mean_rect(t, window)
+        np.clip(t, 0, VOCAB - 1, out=t)
 
     if plan.sharpen is not None:
         sigma_c = min(max(plan.sharpen, 0.1), 10.0)
         window = 2 * math.ceil(sigma_c) + 1
-        t = np.clip(2 * t - _moving_mean_rect(t, window), 0, VOCAB - 1)
+        mm32 = _moving_mean_rect(t, window)
+        out_i = 2 * t  # int widen happens per numpy promotion, as before
+        np.subtract(out_i, mm32, out=out_i)
+        np.clip(out_i, 0, VOCAB - 1, out=out_i)
+        t = out_i
 
     if plan.pixelate is not None and plan.pixelate > 1:
         n = t.shape[1]
