@@ -468,7 +468,9 @@ def apply_plan_rect(
         if lossy:
             step = quality_step(q)
             if step > 1:
-                out = out - (out % step)
+                r = out % step  # one temp: out - (out % step) in place
+                np.subtract(out, r, out=r)
+                out = r
         if palette_k is not None:
             out = _palette_rect(out, palette_k)
         out = _apply_dtype_rule_rect(out, rule)
