@@ -102,13 +102,18 @@ def materialize(replicas: int) -> str:
 
 def _package_zip() -> str:
     """Zip the tokforge package for addPyFile (executor-mode deployment,
-    the --py-files pattern from the north rule)."""
+    the --py-files pattern from the north rule).  Zips the SNAPSHOT when
+    one is active so executors run the same frozen tree as the driver and
+    the PYTHONPATH-resolved workers — zipping the live repo here would
+    reopen the mid-edit inconsistency the snapshot exists to prevent."""
     import shutil
     import tempfile
 
+    root = os.environ.get("TOKFORGE_SNAPSHOT_DIR") or str(
+        Path(__file__).resolve().parent
+    )
     base = tempfile.mktemp(prefix="tokforge-pyfiles-")
-    return shutil.make_archive(base, "zip", str(Path(__file__).resolve().parent),
-                               "tokforge")
+    return shutil.make_archive(base, "zip", root, "tokforge")
 
 
 def run_one(spec: str, in_path: str) -> dict:
@@ -312,10 +317,19 @@ pairs are reported against the same >= 0.8 target; none is privileged:
 
     bench_md = Path(__file__).resolve().parent / "BENCH.md"
     begin, end = "<!-- scaling:begin -->", "<!-- scaling:end -->"
-    text = bench_md.read_text()
-    head, rest = text.split(begin, 1)
-    _, tail = rest.split(end, 1)
-    bench_md.write_text(f"{head}{begin}\n{section}\n{end}{tail}")
+    if bench_md.exists() and begin in (text := bench_md.read_text()) and end in text:
+        head, rest = text.split(begin, 1)
+        _, tail = rest.split(end, 1)
+        bench_md.write_text(f"{head}{begin}\n{section}\n{end}{tail}")
+    else:
+        # bootstrap fallback: never lose a multi-hour sweep's report step
+        # to a missing file or edited-out markers (raw JSON is already on
+        # disk either way)
+        with bench_md.open("a") as fh:
+            fh.write(
+                f"\n# BENCH — measured throughput and scaling\n\n"
+                f"{begin}\n{section}\n{end}\n"
+            )
     print(f"wrote {bench_md}")
 
 

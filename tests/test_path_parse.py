@@ -164,6 +164,10 @@ CORPUS = [
     "sig/plain/https://example.com/path/to/image.jpg",
     "sig/plain/https://example.com/a@b/img.jpg@webp",
     "sig/QUJD.def.png",
+    "sig/resize:fit:10/_w",  # base64 of 0xFF: invalid UTF-8 -> null, not a crash
+    f"sig/{base64.urlsafe_b64encode('héllo/ünï'.encode()).decode().rstrip('=')}",
+    "sig/plain/a%FFb",  # escape of a non-UTF-8 byte: scalar None == column None
+    "sig/plain/100%zz",  # malformed escape: pass-through both sides
     "sig/plain/x@",  # trailing '@': empty extension (rsplit semantics)
     "sig/QUJD.",  # trailing '.': empty extension
     "sig/resize:fit:10/plain",  # invalid: plain with no URL

@@ -758,14 +758,16 @@ def test_cache_state_on_rocksdb_provider(spark, tmp_path):
     req = _signed_requests(spark, limit=20)
     _write_drops(spark, req, in_path, n=3)
 
-    apply_state_store(spark, "rocksdb")
-    assert (
-        spark.conf.get("spark.sql.streaming.stateStore.providerClass")
-        == ROCKSDB_PROVIDER
-    )
+    # the tier rides on EngineConfig — transform_stream must apply it
+    # itself (round-4 review: the config field was a dead knob otherwise)
+    cfg_rocks = EngineConfig(state_store="rocksdb")
     try:
         query, sink = transform_stream(
-            spark, in_path, out_dir, ckpt, CFG, verify=True, available_now=True
+            spark, in_path, out_dir, ckpt, cfg_rocks, verify=True, available_now=True
+        )
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            == ROCKSDB_PROVIDER
         )
         _finish(query)
     except Exception as exc:  # pragma: no cover - environment-dependent

@@ -246,13 +246,18 @@ SELECT doc_id, {hashes} FROM sh"""
 _SIG_CACHE: dict[tuple[str, str, int], DataFrame] = {}
 
 
-def _sig_cached(
-    spark: SparkSession, sf_dir: str, replicas: int, req: DataFrame
-) -> DataFrame:
+def _sig_cached(spark: SparkSession, sf_dir: str, replicas: int) -> DataFrame:
+    """Persisted LSH signature table, memoized per (application, sf_dir,
+    replicas).  Derives its own request input so the memo key provably
+    covers everything the cached value depends on — a caller-supplied
+    DataFrame would be load-bearing only on a miss (round-4 review)."""
     key = (spark.sparkContext.applicationId, sf_dir, replicas)
     hit = _SIG_CACHE.get(key)
     if hit is not None:
         return hit
+    req = _materialized_requests(spark, sf_dir, "minhash", replicas).filter(
+        F.col("n_tok") >= SHINGLE_K
+    )
     sig = (
         signatures_arrow(req, FEATURE_SPACE)
         .repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
@@ -282,12 +287,6 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str, replicas: int = 1) -> DataFram
     ``replicas`` scales the corpus for the candidate-density property test
     (test_plan_quality.test_lsh_candidate_density_is_scale_free); the
     driver-gated query uses the default 1."""
-    # n_tok >= SHINGLE_K filter is a cheap scalar predicate (pushes to the
-    # scan); filtering on size(feats) would drag the whole shingle
-    # expression into the scan filter instead
-    req = _materialized_requests(spark, sf_dir, "minhash", replicas).filter(
-        F.col("n_tok") >= SHINGLE_K
-    )
     # Arrow fast path computes the signature.  Exchange REUSE does not fire
     # across Python map nodes (MapInArrow plans do not canonicalize equal,
     # unlike the old HOF expressions), so the self-join below would scan +
@@ -299,7 +298,7 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str, replicas: int = 1) -> DataFram
     # calls it) reuses ONE cached table instead of leaking one per call;
     # `clear_sig_cache` releases them all (asserted leak-free by
     # test_plan_quality.test_lsh_sig_cache_bounded_and_clearable).
-    sig = _sig_cached(spark, sf_dir, replicas, req)
+    sig = _sig_cached(spark, sf_dir, replicas)
 
     def band_val(i):
         v = F.element_at("sig", ROWS_PER_BAND * i + 1)

@@ -190,14 +190,30 @@ def parse_path_col(path: Column) -> Column:
     # url.rs:34-37); a path with ANY malformed escape passes through
     # undecoded (url_decode would throw; the reference partially decodes —
     # divergence only on mixed valid+invalid escapes, documented here).
+    # Escapes of bytes that are NOT valid UTF-8 (e.g. %FF): java's decoder
+    # substitutes U+FFFD where Rust's decode_utf8 errors — map a decode
+    # that INTRODUCED replacement chars to null, matching the scalar
+    # parser (only a URL that literally percent-encodes U+FFFD itself
+    # would be over-nulled; accepted corner, asserted in the test corpus).
+    decoded_plain = F.url_decode(F.replace(p_raw, F.lit("+"), F.lit("%2B")))
     plain_url = F.when(p_raw.rlike(_MALFORMED_PCT), p_raw).otherwise(
-        F.url_decode(F.replace(p_raw, F.lit("+"), F.lit("%2B")))
+        F.when(
+            decoded_plain.contains("�") & ~p_raw.contains("�"),
+            F.lit(None).cast("string"),
+        ).otherwise(decoded_plain)
     )
     # base64 decode: strict url-safe alphabet + length check mirrors Rust
-    # URL_SAFE_NO_PAD (invalid -> null source_url, the decode-error analog)
+    # URL_SAFE_NO_PAD (invalid -> null source_url, the decode-error
+    # analog).  The binary -> string CAST never throws (raw bytes pass
+    # through), and try_validate_utf8 nulls invalid UTF-8 — per-ROW
+    # failure semantics; F.decode(..., 'UTF-8') would abort the whole job
+    # on one malformed request at 10^12-row scale.
     b64_ok = b_raw.rlike("^[A-Za-z0-9_-]*$") & (F.length(b_raw) % 4 != 1)
     b64_url = F.when(
-        b64_ok, F.decode(F.unbase64(F.translate(b_raw, "-_", "+/")), "UTF-8")
+        b64_ok,
+        F.try_validate_utf8(
+            F.unbase64(F.translate(b_raw, "-_", "+/")).cast("string")
+        ),
     )
     source_url = F.when(is_plain, plain_url).otherwise(b64_url)
 

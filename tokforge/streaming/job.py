@@ -46,6 +46,12 @@ def transform_stream(
     service.rs:453-470) instead of being dropped — a dead-letter channel
     with the same idempotent-commit guarantees as the main output.
     """
+    from tokforge.engine.session import apply_state_store
+
+    # the config's state-store tier is load-bearing here: providerClass is
+    # read at stream START, so this selects in-heap vs RocksDB state for
+    # the cache namespace below (and any stream started after it)
+    apply_state_store(spark, config.state_store)
     stream = read_request_stream(spark, in_path, max_files_per_trigger)
     stream = stream.withWatermark("ts", watermark)
     rejected_query = None
@@ -119,8 +125,10 @@ def info_stream(
     state namespace (info cache keyed by doc_id — reference
     cache.rs:240-256 / service.rs:347-408) into its own exactly-once sink.
     Returns (query, sink)."""
+    from tokforge.engine.session import apply_state_store
     from tokforge.streaming.info_state import with_info_state
 
+    apply_state_store(spark, config.state_store)
     stream = read_request_stream(spark, in_path).withWatermark("ts", watermark)
     infod = with_info_state(stream, config, ttl_ms)
     sink = IdempotentParquetSink(out_dir)
