@@ -15,12 +15,45 @@ from __future__ import annotations
 
 import json
 import os
+import signal
+import subprocess
 import sys
 import tempfile
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def kill_stray_spark_jvms() -> list[int]:
+    """Guard against the sandbox's documented worst failure mode: a
+    timeout-killed pytest/python that owned a SparkSession leaves its JVM
+    spinning at 400%+ CPU indefinitely (it polluted a whole round-4
+    scaling sweep and slowed pytest 10x — BENCH.md method notes).  At this
+    point bench.py owns no JVM yet, so EVERY SparkSubmit process on the
+    box is a stray from a dead session; kill them before any timing."""
+    try:
+        out = subprocess.run(
+            ["pgrep", "-f", "SparkSubmit"], capture_output=True, text=True
+        )
+    except OSError:
+        return []
+    killed: list[int] = []
+    for tok in out.stdout.split():
+        try:
+            pid = int(tok)
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, signal.SIGKILL)
+            killed.append(pid)
+        except OSError:
+            pass
+    if killed:
+        print(f"killed stray SparkSubmit JVMs: {killed}", file=sys.stderr)
+    return killed
 
 import pyspark.sql.functions as F  # noqa: E402
 
@@ -174,44 +207,131 @@ def bench_stream_cache(spark, sf_dir, cfg):
     return best
 
 
-def bench_stream_sustained(spark, sf_dir, cfg):
-    """The BASELINE metric at volume: sf0.1 x24 = 720k requests / 6
-    event-time drops through the FULL pipeline (file stream -> watermark ->
-    bucketed cache state w/ rect-batched MISS -> exactly-once sink).
-    The small stream_cache bench runs first, so workers are warm; best of
-    2 measured passes."""
+def materialize_stream_inputs(spark, sf_dir):
+    """Write the sustained-phase inputs ONCE, parent-side and untimed:
+    a small 2-replica warm-up set and the volume set (sf0.1 x24 = 720k
+    requests / 6 event-time drops).  Both are plain parquet drop dirs any
+    fresh subprocess can stream from."""
+    tmp = tempfile.mkdtemp(prefix="tokforge-bench-vol-")
+    for name, replicas, drops in (("small", 2, 2), ("vol", 24, 6)):
+        req = requests_df(spark, sf_dir, SIMPLE_CHAIN, replicas=replicas)
+        for i in range(drops):
+            req.withColumn(
+                "ts", (F.unix_timestamp("ts") + i * 600).cast("timestamp")
+            ).write.mode("append").parquet(f"{tmp}/{name}/drop={i}")
+    return f"{tmp}/small", f"{tmp}/vol"
+
+
+def sustained_worker(in_small: str, in_vol: str) -> dict:
+    """Child mode (one fresh JVM): warm the streaming machinery on the
+    small input, then time TOKFORGE_SUSTAINED_PASSES full-volume passes
+    through the complete pipeline (file stream -> watermark -> bucketed
+    cache state w/ rect-batched MISS -> exactly-once sink) and report the
+    best."""
+    from tokforge.engine.config import EngineConfig
+    from tokforge.engine.session import build_spark
     from tokforge.streaming.job import read_sink, transform_stream
 
-    tmp = tempfile.mkdtemp(prefix="tokforge-bench-vol-")
-    req = requests_df(spark, sf_dir, SIMPLE_CHAIN, replicas=24)
-    for i in range(6):
-        req.withColumn(
-            "ts", (F.unix_timestamp("ts") + i * 600).cast("timestamp")
-        ).write.mode("append").parquet(f"{tmp}/in/drop={i}")
-    best = None
-    for it in range(3):
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = build_spark(
+        app_name="tokforge-bench-sustained",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = EngineConfig()
+    tmp = tempfile.mkdtemp(prefix="tokforge-bench-sus-")
+
+    def one(tag: str, in_path: str):
         t0 = time.time()
         query, _ = transform_stream(
             spark,
-            f"{tmp}/in",
-            f"{tmp}/out{it}",
-            f"{tmp}/ckpt{it}",
+            in_path,
+            f"{tmp}/out{tag}",
+            f"{tmp}/ckpt{tag}",
             cfg,
             verify=False,
             available_now=True,
             max_files_per_trigger=40,
         )
         query.awaitTermination(600)
-        sunk = read_sink(spark, f"{tmp}/out{it}").agg(
+        sunk = read_sink(spark, f"{tmp}/out{tag}").agg(
             F.count("*").alias("n"), F.sum("n_out").alias("tokens_out")
         ).collect()[0]
-        dt = time.time() - t0
+        return time.time() - t0, int(sunk["n"]), int(sunk["tokens_out"])
+
+    # two untimed small warm-ups: the state-stage python workers fault in
+    # the rect kernel + numpy pages on FIRST use at this sandbox's
+    # 20-70 MB/s first-touch rate (measured 11.5s -> 5.6s -> 3.2s over the
+    # first three identical runs in round 3)
+    one("w0", in_small)
+    one("w1", in_small)
+    passes = int(os.environ.get("TOKFORGE_SUSTAINED_PASSES", "2"))
+    best = None
+    pass_secs = []
+    for it in range(passes):
+        dt, n, tok = one(f"v{it}", in_vol)
+        pass_secs.append(round(dt, 3))
         if best is None or dt < best[0]:
-            best = (dt, int(sunk["n"]), int(sunk["tokens_out"]))
-    return best
+            best = (dt, n, tok)
+    spark.stop()
+    return {
+        "seconds": round(best[0], 3),
+        "rows": best[1],
+        "tokens_out": best[2],
+        "pass_seconds": pass_secs,
+        "tokens_per_sec": int(best[2] / best[0]),
+    }
+
+
+def bench_stream_sustained(in_small: str, in_vol: str):
+    """The BASELINE metric at volume, made robust against the sandbox's
+    PROCESS-LIFETIME bimodal slow mode (BENCH.md method notes; it gripped
+    the driver's whole r4 sustained phase, reading 0.81M tokens/s while
+    fresh-process sweeps of the same build measured 3.9M).  Recipe from
+    bench_scaling.py: launch TOKFORGE_SUSTAINED_LAUNCHES fresh
+    subprocesses (fresh JVM each — the slow mode is per-process and
+    strictly one-sided), each warms up then times the 720k-row volume
+    passes; keep the best launch, retain every launch's raw numbers."""
+    launches = int(os.environ.get("TOKFORGE_SUSTAINED_LAUNCHES", "3"))
+    results: list[dict] = []
+    best = None
+    for li in range(launches):
+        out = subprocess.run(
+            [sys.executable, __file__, "--sustained-run", in_small, in_vol],
+            capture_output=True,
+            text=True,
+            cwd=str(Path(__file__).resolve().parent),
+        )
+        if out.returncode != 0:
+            results.append(
+                {"launch": li, "error": (out.stderr or "")[-2000:]}
+            )
+            continue
+        res = json.loads(out.stdout.strip().splitlines()[-1])
+        res["launch"] = li
+        results.append(res)
+        if best is None or res["tokens_per_sec"] > best["tokens_per_sec"]:
+            best = res
+    if best is None:
+        raise RuntimeError(f"every sustained launch failed: {results}")
+    runs_dir = Path(__file__).resolve().parent / "bench_runs"
+    try:
+        runs_dir.mkdir(exist_ok=True)
+        (runs_dir / "sustained_latest.json").write_text(
+            json.dumps({"launches": results, "best": best}, indent=1)
+        )
+    except OSError:
+        pass
+    return best, results
 
 
 def main() -> None:
+    if len(sys.argv) >= 4 and sys.argv[1] == "--sustained-run":
+        print(json.dumps(sustained_worker(sys.argv[2], sys.argv[3])))
+        return
+
+    kill_stray_spark_jvms()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = build_spark(app_name="tokforge-bench", master=f"local[{cpus}]",
@@ -234,8 +354,15 @@ def main() -> None:
     dt_stream, stream_rows, stream_tokens = bench_stream_cache(spark, sf_dir, cfg)
     queries["stream_cache"] = round(dt_stream, 3)
     # reported as separate sustained_volume_* fields, NOT in `queries`:
-    # the headline total stays comparable across rounds
-    dt_vol, vol_rows, vol_tokens = bench_stream_sustained(spark, sf_dir, cfg)
+    # the headline total stays comparable across rounds.  The sustained
+    # phase runs in FRESH SUBPROCESSES — stop this session first so its
+    # idle 32-thread JVM never contends with the measured child
+    in_small, in_vol = materialize_stream_inputs(spark, sf_dir)
+    spark.stop()
+    vol_best, vol_launches = bench_stream_sustained(in_small, in_vol)
+    dt_vol = vol_best["seconds"]
+    vol_rows = vol_best["rows"]
+    vol_tokens = vol_best["tokens_out"]
 
     total = round(sum(queries.values()), 3)
     print(
@@ -255,10 +382,13 @@ def main() -> None:
                 "sustained_volume_rows": vol_rows,
                 "sustained_volume_rows_per_sec": int(vol_rows / dt_vol),
                 "sustained_volume_tokens_per_sec": int(vol_tokens / dt_vol),
+                # per-launch audit trail (also bench_runs/sustained_latest.json)
+                "sustained_volume_launches": [
+                    r.get("tokens_per_sec", "launch-failed") for r in vol_launches
+                ],
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -245,6 +245,141 @@ def test_cache_ttl_rearmed_on_every_invocation(spark):
         assert out2[0]["cache_status" if "cache_status" in out2[0] else "info_status"][0] == "HIT"
 
 
+def _one_request_batch(spark, cache_keys, doc_ids=None):
+    """A cache-state input batch with explicit cache_key values (the stub
+    path bypasses bucketing, so keys collide in one 'bucket' by
+    construction)."""
+    import pandas as pd
+
+    req = _signed_requests(spark, limit=1).toPandas()
+    n = len(cache_keys)
+    return pd.DataFrame(
+        {
+            "cache_key": cache_keys,
+            "doc_id": (doc_ids or [f"d{i}" for i in range(n)]),
+            "ts": [req["ts"][0]] * n,
+            "tokens": [req["tokens"][0]] * n,
+            "ops": [req["ops"][0]] * n,
+            "orientation": [req["orientation"][0]] * n,
+            "src_dtype": [req["src_dtype"][0]] * n,
+        }
+    )
+
+
+def test_cache_capacity_lru_eviction(spark):
+    """Capacity-bounded LRU (the foyer hard-capacity analog, reference
+    caching/config.rs:54-66 memory 1000 / disk 10000, LRU eviction
+    cache.rs:152-165): fill a bucket past cap and the LOWEST-RECENCY entry
+    is evicted — a re-request for it MISSes while a recently-accessed
+    entry still HITs.  State stays bounded at `capacity` entries no matter
+    how many distinct keys flow through (vs TTL-only eviction, where state
+    grows with active-keys-per-TTL)."""
+    from tokforge.streaming.cache_state import make_cache_state_func
+
+    fn = make_cache_state_func(CFG, ttl_ms=0, capacity=2)
+    state = _StubGroupState()
+
+    def run(keys):
+        out = list(fn((0,), iter([_one_request_batch(spark, keys)]), state))
+        return list(out[0]["cache_status"])
+
+    assert run(["ka", "kb"]) == ["MISS", "MISS"]
+    time.sleep(0.005)  # recency is wall-ms; separate accesses must order
+    # kb re-accessed (refreshes recency) + kc inserted -> over cap ->
+    # the stale ka is the LRU victim
+    assert run(["kb", "kc"]) == ["HIT", "MISS"]
+    assert len(state.value[0]) == 2, "state must be capped at capacity"
+    assert set(state.value[0]) == {"kb", "kc"}
+    time.sleep(0.005)
+    # the evicted key MISSes on re-request; the retained one still HITs
+    assert run(["ka", "kc"]) == ["MISS", "HIT"]
+
+    # a single over-cap miss storm: every row is still answered, state
+    # retains only `capacity` entries (admission-then-evict at capacity)
+    fn2 = make_cache_state_func(CFG, ttl_ms=0, capacity=2)
+    st2 = _StubGroupState()
+    out = list(fn2((0,), iter([_one_request_batch(spark, [f"k{i}" for i in range(5)])]), st2))
+    assert list(out[0]["cache_status"]) == ["MISS"] * 5
+    assert len(st2.value[0]) == 2
+
+
+def test_info_capacity_lru_eviction(spark):
+    """Same capacity bound on the SECOND namespace (info cache, keyed by
+    doc_id) — both reference namespaces live in one capacity-bounded
+    store."""
+    from tokforge.streaming.info_state import make_info_state_func
+
+    fn = make_info_state_func(CFG, ttl_ms=0, capacity=1)
+    state = _StubGroupState()
+
+    def run(docs):
+        batch = _one_request_batch(spark, ["unused"] * len(docs), doc_ids=docs)
+        out = list(fn((0,), iter([batch]), state))
+        return list(out[0]["info_status"])
+
+    assert run(["da"]) == ["MISS"]
+    time.sleep(0.005)
+    assert run(["db"]) == ["MISS"]  # inserts db, evicts da (cap 1)
+    assert state.value[0] == ["db"]
+    time.sleep(0.005)
+    assert run(["da"]) == ["MISS"]  # evicted -> recompute
+
+
+def test_cache_capacity_end_to_end_stream(spark, tmp_path):
+    """Capacity eviction through the REAL streaming path: single-bucket
+    cache state (buckets=1 so distinct keys share the bucket), cap 2,
+    three checkpointed availableNow runs.  Drop 2's re-request of the
+    evicted key recomputes (MISS) while the retained key serves HIT."""
+    from tokforge.streaming.cache_state import with_cache_state
+    from tokforge.streaming.source import read_request_stream
+
+    in_path, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    req = _signed_requests(spark, limit=3).cache()
+    docs = sorted(r["doc_id"] for r in req.select("doc_id").collect())
+    da, db, dc = docs
+
+    def run_drop(i, doc_subset):
+        # one fixed ts literal per drop, so the sink's ts column IS the
+        # drop index (each doc's synthesized base ts differs otherwise)
+        req.filter(F.col("doc_id").isin(doc_subset)).withColumn(
+            "ts",
+            F.expr(f"timestamp'2024-01-01 00:00:00' + interval {i * 600} seconds"),
+        ).write.mode("append").parquet(f"{in_path}/drop={i}")
+        stream = read_request_stream(spark, in_path).withWatermark(
+            "ts", "10 minutes"
+        )
+        cached = with_cache_state(stream, CFG, ttl_ms=0, buckets=1, capacity=2)
+        sink = IdempotentParquetSink(out_dir)
+        q = (
+            cached.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _finish(q)
+
+    run_drop(0, [da, db])  # both MISS, state = {da, db}
+    run_drop(1, [db, dc])  # db HIT (refresh), dc MISS -> evicts stale da
+    run_drop(2, [da, dc])  # da was evicted -> MISS; dc retained -> HIT
+    statuses = (
+        read_sink(spark, out_dir)
+        .groupBy("doc_id", "ts")
+        .agg(F.first("cache_status").alias("s"))
+        .collect()
+    )
+    ts_sorted = sorted({r["ts"] for r in statuses})
+    status_of = {(r["doc_id"], ts_sorted.index(r["ts"])): r["s"] for r in statuses}
+    assert status_of[(da, 0)] == "MISS" and status_of[(db, 0)] == "MISS"
+    assert status_of[(db, 1)] == "HIT" and status_of[(dc, 1)] == "MISS"
+    assert status_of[(da, 2)] == "MISS", "evicted entry must recompute"
+    assert status_of[(dc, 2)] == "HIT", "retained entry must still serve"
+
+
 def test_info_cache_second_namespace(spark, tmp_path):
     """The metadata cache is a real SECOND keyed state namespace: keyed by
     doc_id (not cache_key), 1 MISS + 1 HIT per doc across two drops, HITs

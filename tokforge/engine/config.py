@@ -34,6 +34,14 @@ class EngineConfig:
     # changelog checkpointing) — the 100 TB story for state larger than
     # executor heap.  Applied by session.apply_state_store / build_spark.
     state_store: str = "hdfs"
+    # Capacity-bounded LRU eviction for the cache/info state namespaces
+    # (reference: foyer's hard entry capacities, caching/config.rs:54-66,
+    # LRU eviction cache.rs:152-165).  Per-BUCKET entry cap; the global
+    # state budget is buckets x this cap (16384 x cap by default).  0 =
+    # unbounded (TTL/idle-timeout eviction only) — at 10^12 keys a real
+    # deployment sets this so state is bounded by budget, not by
+    # active-keys-per-TTL.
+    cache_capacity_per_bucket: int = 0
 
     @property
     def key(self) -> bytes:
@@ -103,6 +111,11 @@ class EngineConfig:
             bearer_token=e.get("TOKFORGE_BEARER_TOKEN", d.bearer_token),
             allowed_src_dtypes=allowed if allowed is not None else d.allowed_src_dtypes,
             state_store=e.get("TOKFORGE_STATE_STORE", d.state_store).strip().lower(),
+            cache_capacity_per_bucket=(
+                int(e["TOKFORGE_CACHE_CAPACITY_PER_BUCKET"])
+                if e.get("TOKFORGE_CACHE_CAPACITY_PER_BUCKET")
+                else d.cache_capacity_per_bucket
+            ),
         )
 
 

@@ -75,11 +75,25 @@ CACHE_STATE_SCHEMA = StructType(
 DEFAULT_BUCKETS = 16384
 
 
-def make_cache_state_func(config: EngineConfig = DEFAULT_CONFIG, ttl_ms: int = 0):
+def make_cache_state_func(
+    config: EngineConfig = DEFAULT_CONFIG,
+    ttl_ms: int = 0,
+    capacity: int | None = None,
+):
     """Build the stateful group function (key = hash bucket).  ttl_ms <= 0
     disables eviction; with TTL, entries expire `ttl_ms` after their last
     ACCESS (sliding, the LRU recency rule) and an idle bucket's whole
-    state drops via the group timeout."""
+    state drops via the group timeout.
+
+    ``capacity`` (default: config.cache_capacity_per_bucket; 0 =
+    unbounded) is the per-bucket entry cap, the foyer hard-capacity
+    analog (reference: caching/config.rs:54-66 memory 1000 / disk 10000;
+    LRU eviction cache.rs:152-165): when a batch leaves a bucket over
+    cap, lowest-recency entries are evicted first, so total state is
+    bounded by buckets x capacity even under a hot-key storm where every
+    distinct key recurs within one TTL window."""
+    if capacity is None:
+        capacity = config.cache_capacity_per_bucket
 
     def cache_fn(
         key: Tuple[int],
@@ -200,6 +214,20 @@ def make_cache_state_func(config: EngineConfig = DEFAULT_CONFIG, ttl_ms: int = 0
             n_out[i] = n_out[j]
             dtypes[i] = dtypes[j]
 
+        if capacity > 0 and len(entries) > capacity:
+            # Capacity-bounded LRU: evict lowest last-access first until
+            # the bucket is back at cap.  Entries touched in THIS
+            # invocation (hits refreshed + fresh misses) share one clock
+            # reading, so ties break by key — deterministic, and a row
+            # just served is never preferred for eviction over a stale
+            # one.  A miss storm larger than cap still answers every row
+            # (the computed result is served either way); the overflow is
+            # simply not retained — exactly foyer's admission-then-evict
+            # behavior at capacity.
+            victims = sorted(entries.items(), key=lambda kv: (kv[1][2], kv[0]))
+            for k, _ in victims[: len(entries) - capacity]:
+                del entries[k]
+
         if entries:
             ks = list(entries.keys())
             state.update(
@@ -238,11 +266,14 @@ def with_cache_state(
     config: EngineConfig = DEFAULT_CONFIG,
     ttl_ms: int = 0,
     buckets: int = DEFAULT_BUCKETS,
+    capacity: int | None = None,
 ) -> DataFrame:
     """Attach the stateful cache to a (streaming) request DataFrame.
     Shuffles once on the cache-key HASH BUCKET (state compaction — see
     module docstring); xxhash64 is deterministic, so replays land entries
-    in the same buckets."""
+    in the same buckets.  ``capacity`` (default config.cache_capacity_
+    per_bucket) caps entries per bucket with LRU eviction, bounding total
+    state at buckets x capacity."""
     keyed = requests.withColumn("cache_key", cache_key_col(config)).withColumn(
         "_bucket", F.pmod(F.xxhash64(F.col("cache_key")), F.lit(buckets))
     )
@@ -252,7 +283,7 @@ def with_cache_state(
         else GroupStateTimeout.NoTimeout
     )
     return keyed.groupBy("_bucket").applyInPandasWithState(
-        make_cache_state_func(config, ttl_ms),
+        make_cache_state_func(config, ttl_ms, capacity),
         CACHE_OUTPUT_SCHEMA,
         CACHE_STATE_SCHEMA,
         "append",

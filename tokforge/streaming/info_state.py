@@ -72,10 +72,20 @@ INFO_STATE_SCHEMA = StructType(
 DEFAULT_BUCKETS = 16384
 
 
-def make_info_state_func(config: EngineConfig = DEFAULT_CONFIG, ttl_ms: int = 0):
+def make_info_state_func(
+    config: EngineConfig = DEFAULT_CONFIG,
+    ttl_ms: int = 0,
+    capacity: int | None = None,
+):
     """Stateful group function for the info namespace (key = hash bucket).
     ttl_ms <= 0 disables eviction; entries expire ttl_ms after last access
-    (sliding), idle buckets drop whole via the group timeout."""
+    (sliding), idle buckets drop whole via the group timeout.  ``capacity``
+    (default config.cache_capacity_per_bucket, 0 = unbounded) caps this
+    bucket's entries with lowest-recency-first eviction — both reference
+    namespaces live in the same capacity-bounded foyer store
+    (caching/config.rs:54-66, cache.rs:152-165)."""
+    if capacity is None:
+        capacity = config.cache_capacity_per_bucket
 
     def info_fn(
         key: Tuple[int],
@@ -177,6 +187,14 @@ def make_info_state_func(config: EngineConfig = DEFAULT_CONFIG, ttl_ms: int = 0)
             statuses[i] = "HIT"
             n_out[i], dtypes[i], sizes[i] = n_out[j], dtypes[j], sizes[j]
 
+        if capacity > 0 and len(entries) > capacity:
+            # capacity-bounded LRU, same semantics as cache_state.py:
+            # evict lowest last-access first; same-invocation ties break
+            # by key (deterministic)
+            victims = sorted(entries.items(), key=lambda kv: (kv[1][3], kv[0]))
+            for k, _ in victims[: len(entries) - capacity]:
+                del entries[k]
+
         if entries:
             ks = list(entries.keys())
             state.update(
@@ -215,6 +233,7 @@ def with_info_state(
     config: EngineConfig = DEFAULT_CONFIG,
     ttl_ms: int = 0,
     buckets: int = DEFAULT_BUCKETS,
+    capacity: int | None = None,
 ) -> DataFrame:
     """Attach the info-cache state to a (streaming) request DataFrame.
     Shuffles once on the doc_id HASH BUCKET — a DIFFERENT key space than
@@ -229,7 +248,7 @@ def with_info_state(
         else GroupStateTimeout.NoTimeout
     )
     return keyed.groupBy("_bucket").applyInPandasWithState(
-        make_info_state_func(config, ttl_ms),
+        make_info_state_func(config, ttl_ms, capacity),
         INFO_OUTPUT_SCHEMA,
         INFO_STATE_SCHEMA,
         "append",
