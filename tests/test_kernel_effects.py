@@ -232,6 +232,45 @@ def test_encoded_size_runs():
     assert encoded_size_bytes(np.array([], dtype=np.int64), 4) == 0
 
 
+def test_avif_subsample_default_on():
+    """AVIF subsamples BY DEFAULT (reference save.rs:145-151 Auto):
+    quality:100 -> no quantize, so the only effect is each odd position
+    taking its even neighbor (4:2:0 pair-sharing analog)."""
+    r = op_encode(np.array([10, 20, 30, 40, 50]), "avif", 100, None)
+    eq(r.tokens, [10, 10, 30, 30, 50])
+
+
+def test_avif_no_subsample_knob():
+    """avif_options:1 (no_subsample) turns the subsample off — output
+    matches the bare quantize path."""
+    from tokforge.plans.options import parse_chain
+
+    plan = parse_chain("avif_options:1/quality:100/format:avif")
+    r = op_encode(np.array([10, 20, 30, 40, 50]), "avif", 100, None, plan.save)
+    eq(r.tokens, [10, 20, 30, 40, 50])
+
+
+def test_avif_subsample_non_avif_noop():
+    # the knob is format-scoped: jpeg output ignores avif options entirely
+    from tokforge.plans.options import parse_chain
+
+    plan = parse_chain("avif_options:0/quality:100/format:jpeg")
+    r = op_encode(np.array([10, 20, 30, 40, 50]), "jpeg", 100, None, plan.save)
+    eq(r.tokens, [10, 20, 30, 40, 50])
+
+
+def test_avif_subsample_shrinks_encoded_size():
+    # pair-sharing halves run count for distinct-valued input: the knob has
+    # a REAL effect on the encoder's size accounting (and max_bytes loop)
+    t = np.arange(10) * 1000
+    on = op_encode(t, "avif", 100, None)
+    from tokforge.plans.options import parse_chain
+
+    off_plan = parse_chain("avif_options:1/format:avif")
+    off = op_encode(t, "avif", 100, None, off_plan.save)
+    assert on.size_bytes < off.size_bytes
+
+
 def test_max_bytes_quality_loop():
     # distinct values: size = n*4 = 40 bytes; quantizing merges runs
     t = np.arange(10) * 2

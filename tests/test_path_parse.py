@@ -168,6 +168,17 @@ CORPUS = [
     f"sig/{base64.urlsafe_b64encode('héllo/ünï'.encode()).decode().rstrip('=')}",
     "sig/plain/a%FFb",  # escape of a non-UTF-8 byte: scalar None == column None
     "sig/plain/100%zz",  # malformed escape: pass-through both sides
+    # MIXED valid+malformed escapes: partial decode ('aA%zz'), matching the
+    # reference's percent_decode (round-5 fix; the column parser used to
+    # pass the whole string through undecoded)
+    "sig/plain/a%41%zz",
+    "sig/plain/%%41tail%",  # '%','A','tail','%' — overlapping-scan partial decode
+    "sig/plain/%4",  # lone truncated escape: literal pass-through
+    # non-canonical base64 (dangling trailing bits): Rust URL_SAFE_NO_PAD
+    # rejects -> null source_url on both sides (round-5 canonicality check)
+    "sig/x:1/ab",
+    "sig/x:1/QUJDRQ",  # 'ABCE' canonical 6-char form: stays accepted
+    f"sig/{b64url('https://example.com/q')}x",  # appended char -> non-canonical
     "sig/plain/x@",  # trailing '@': empty extension (rsplit semantics)
     "sig/QUJD.",  # trailing '.': empty extension
     "sig/resize:fit:10/plain",  # invalid: plain with no URL

@@ -91,6 +91,10 @@ def chains(draw):
     if draw(st.booleans()):
         ops.append(f"jpeg_options:{draw(st.integers(0, 1))}")
     if draw(st.booleans()):
+        # round 5: avif subsample knob — fires only for format:avif
+        # (default ON there); a no-op everywhere else
+        ops.append(f"avif_options:{draw(st.integers(0, 1))}")
+    if draw(st.booleans()):
         ops.append(f"max_bytes:{draw(st.sampled_from([40, 120, 400]))}")
     if draw(st.booleans()):
         ops.append(f"format:{draw(st.sampled_from(_FORMATS))}")

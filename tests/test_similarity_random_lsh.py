@@ -1,0 +1,117 @@
+"""Random-hyperplane sign-LSH robustness (round 5, VERDICT item 8).
+
+The axis-aligned bucketing (sign of the first NEAR_DUP_BITS dims) assumes
+roughly centered embeddings: on a SHIFTED corpus (every dim strictly
+positive — the shape real embedding models produce) every vector's sign
+pattern is identical, the bucket space collapses to ONE bucket, and the
+candidate join degrades to all-pairs.  The seeded random-projection
+bucketing with mean-centering must (a) keep recall of true near-dup pairs
+and (b) actually prune — many distinct buckets, far fewer candidates.
+
+Everything is deterministic: fixed corpus seed, fixed hyperplane seed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from tokforge.pipeline.similarity import (
+    NEAR_DUP_BITS,
+    _bucket_spark,
+    _near_dup_join,
+    buckets_random_arrow,
+)
+
+DIM = 64
+N_BASE = 150
+N_PAIRS = 20
+SHIFT = 5.0
+# with shift +5 per dim, cosine between unrelated vectors is ~0.96 while
+# planted near-dups sit at ~0.9997 — 0.999 separates them cleanly
+THRESHOLD = 0.999
+
+
+def _shifted_corpus():
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal((N_BASE, DIM)) + SHIFT
+    dups = base[:N_PAIRS] + 0.05 * rng.standard_normal((N_PAIRS, DIM))
+    vecs = np.vstack([base, dups]).astype(np.float32)
+    ids = list(range(N_BASE)) + [N_BASE + i for i in range(N_PAIRS)]
+    truth = {(i, N_BASE + i) for i in range(N_PAIRS)}
+    return ids, vecs, truth
+
+
+def _emb_df(spark):
+    ids, vecs, truth = _shifted_corpus()
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+    return df.repartition(4), truth
+
+
+def test_axis_buckets_collapse_on_shifted_corpus(spark):
+    """The documented failure mode, pinned: all-positive dims -> a single
+    axis bucket (zero pruning)."""
+    emb, _ = _emb_df(spark)
+    n_buckets = (
+        emb.select(_bucket_spark(F.col("embedding")).alias("bucket"))
+        .select(F.countDistinct("bucket"))
+        .collect()[0][0]
+    )
+    assert n_buckets == 1
+
+
+def test_random_buckets_recall_and_pruning_on_shifted_corpus(spark):
+    emb, truth = _emb_df(spark)
+    bucketed = buckets_random_arrow(emb, dim=DIM).cache()
+
+    # (b) pruning is real again: the bucket space spreads
+    n_buckets = bucketed.select(F.countDistinct("bucket")).collect()[0][0]
+    assert n_buckets > 50, f"random buckets did not spread: {n_buckets}"
+
+    pairs = _near_dup_join(bucketed, threshold=THRESHOLD)
+    found = {(r["vec_a"], r["vec_b"]) for r in pairs.collect()}
+
+    # (a) recall holds: planted near-dups land in the same bucket (or a
+    # 1-bit probe neighbour) despite the +5 shift
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.8, f"recall {recall} over {len(truth)} planted pairs"
+
+    # no threshold-crossing garbage: everything found IS a planted pair
+    # (unrelated cosines top out ~0.97 on this corpus)
+    assert found <= truth
+
+    # candidate pruning vs all-pairs: the exact-verify join saw candidates
+    # only within (bucket, probe) groups.  Measure it directly: count
+    # candidate pairs before the cosine filter.
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << i)).cast("long")
+            for i in range(NEAR_DUP_BITS)
+        ],
+    )
+    b = bucketed.select(F.col("vec_id").alias("vec_b"), F.explode(probes).alias("probe"))
+    a = bucketed.select(F.col("vec_id").alias("vec_a"), "bucket")
+    n_candidates = a.join(
+        b, (F.col("bucket") == F.col("probe")) & (F.col("vec_a") < F.col("vec_b"))
+    ).count()
+    n = N_BASE + N_PAIRS
+    all_pairs = n * (n - 1) // 2
+    assert n_candidates < all_pairs * 0.5, (n_candidates, all_pairs)
+
+
+def test_random_buckets_deterministic(spark):
+    """Same seed -> identical buckets across independent invocations
+    (replay/checkpoint safety: the matrix regenerates from the closure)."""
+    emb, _ = _emb_df(spark)
+    b1 = dict(
+        buckets_random_arrow(emb, dim=DIM).select("vec_id", "bucket").collect()
+    )
+    b2 = dict(
+        buckets_random_arrow(emb, dim=DIM).select("vec_id", "bucket").collect()
+    )
+    assert b1 == b2

@@ -877,6 +877,108 @@ def test_partitioned_sink_commits_and_prunes(spark, tmp_path):
     assert flat.count() == 12 and "batch_id" in flat.columns
 
 
+def test_volume_checkpoint_resume_rocksdb(spark, tmp_path):
+    """Kill/resume AT VOLUME on the disk state tier (round-5 VERDICT item
+    7): the 720k-row sustained layout (sf0.1 x24 replicas, 6 event-time
+    drops — the exact bench_stream_sustained shape) runs on the RocksDB
+    provider with small triggers, is STOPPED mid-stream after at least one
+    committed batch, and resumes from the checkpoint.  Exactly-once must
+    hold across the kill: total committed rows == one per input request,
+    no replayed duplicates.  Recovery wall time is recorded to
+    bench_runs/resume_volume.json (surfaced in docs/SCALE.md)."""
+    import json
+    from pathlib import Path
+
+    from tokforge.engine.session import apply_state_store
+
+    sf_dir = "/root/testdata/sf0.1"
+    in_path, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    # 32 files per drop -> 192 files / 24-file triggers = 8 micro-batches,
+    # so the kill below genuinely lands between commits
+    req = requests_df(spark, sf_dir, CHAIN, replicas=24).repartition(32)
+    for i in range(6):
+        req.withColumn(
+            "ts", (F.unix_timestamp("ts") + i * 600).cast("timestamp")
+        ).write.mode("append").parquet(f"{in_path}/drop={i}")
+    n_total = spark.read.parquet(in_path).count()
+
+    cfg_rocks = EngineConfig(state_store="rocksdb")
+    t0 = time.time()
+    try:
+        q1, _ = transform_stream(
+            spark,
+            in_path,
+            out_dir,
+            ckpt,
+            cfg_rocks,
+            verify=False,
+            available_now=True,
+            max_files_per_trigger=24,
+        )
+    except Exception as exc:  # pragma: no cover - environment-dependent
+        apply_state_store(spark, "hdfs")
+        pytest.skip(f"RocksDB provider unavailable in this build: {exc}")
+    try:
+        # wait for >= 1 COMMITTED batch, then kill mid-stream
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            if any(p["numInputRows"] > 0 for p in q1.recentProgress):
+                break
+            time.sleep(0.05)
+        q1.stop()
+        q1.awaitTermination(60)
+        t_killed = time.time()
+        partial = read_sink(spark, out_dir).count()
+        assert partial > 0, "no batch committed before the kill"
+        assert partial < n_total, "kill must land MID-stream (uncommitted batches remain)"
+
+        # resume from the same checkpoint on the same provider
+        t_resume = time.time()
+        q2, _ = transform_stream(
+            spark,
+            in_path,
+            out_dir,
+            ckpt,
+            cfg_rocks,
+            verify=False,
+            available_now=True,
+            max_files_per_trigger=48,
+        )
+        _finish(q2, timeout=300)
+        recovery_s = time.time() - t_resume
+    finally:
+        apply_state_store(spark, "hdfs")
+
+    sunk = read_sink(spark, out_dir)
+    total = sunk.count()
+    assert total == n_total, (total, n_total, "exactly-once violated across kill")
+    distinct = sunk.select("cache_key", "doc_id", "ts").distinct().count()
+    assert distinct == n_total, "replayed duplicates in the sink"
+
+    interrupted = partial < n_total
+    try:  # best-effort evidence artifact; never fail the test on IO
+        runs = Path(__file__).resolve().parent.parent / "bench_runs"
+        runs.mkdir(exist_ok=True)
+        (runs / "resume_volume.json").write_text(
+            json.dumps(
+                {
+                    "rows_total": total,
+                    "rows_before_kill": partial,
+                    "interrupted_mid_stream": interrupted,
+                    "phase1_seconds": round(t_killed - t0, 3),
+                    "recovery_seconds": round(recovery_s, 3),
+                    "provider": "rocksdb",
+                }
+            )
+        )
+    except OSError:
+        pass
+
+
 def test_cache_state_on_rocksdb_provider(spark, tmp_path):
     """The disk state-store tier (reference: the foyer hybrid cache,
     caching/cache.rs:258-327): the IDENTICAL cache pipeline runs on

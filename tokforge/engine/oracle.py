@@ -27,6 +27,7 @@ from tokforge.constants import (
 from tokforge.operators.kernel import (
     LANCZOS_A,
     LANCZOS_PI,
+    _avif_subsample,
     _jpeg_progressive,
     _palette_colors,
     quality_step,
@@ -555,10 +556,21 @@ FROM {steps.current}"""
                 return f"list_transform({e}, x -> x % 256)"
             return e
 
-        # encoder knobs (kernel.op_encode order: quantize -> palette ->
-        # dtype rule -> progressive -> size)
+        # encoder knobs (kernel.op_encode order: quantize -> subsample ->
+        # palette -> dtype rule -> progressive -> size)
         palette_k = _palette_colors(plan.save) if out_fmt == "png" else None
         progressive = out_fmt in ("jpeg", "jpg") and _jpeg_progressive(plan.save)
+        subsample = out_fmt == "avif" and _avif_subsample(plan.save)
+
+        def _subsample_expr(e: str) -> str:
+            # kernel.op_subsample: 0-based odd position takes its even
+            # neighbor = 1-based even i takes element i-1.  `e` is a pure
+            # expression (may be referenced twice — DuckDB subscripts
+            # parenthesized expressions fine).
+            return (
+                f"list_transform({e}, (x, i) -> CASE WHEN i % 2 = 0 "
+                f"THEN ({e})[i - 1] ELSE x END)"
+            )
 
         def _palette_expr(e: str) -> str:
             k = min(max(palette_k, 2), 256)
@@ -579,6 +591,8 @@ FROM {steps.current}"""
                 step = quality_step(quality)
                 if step > 1:
                     steps.replace_t(f"list_transform(t, x -> x - x % {step})")
+            if subsample:
+                steps.replace_t(_subsample_expr("t"))
             if palette_k is not None:
                 steps.replace_t(_palette_expr("t"))
             if rule != "none":
@@ -610,6 +624,8 @@ FROM {steps.current}"""
                     step = quality_step(qc)
                     if step > 1:
                         e = f"list_transform(t, x -> x - x % {step})"
+                if subsample:
+                    e = _subsample_expr(e)
                 if palette_k is not None:
                     e = _palette_expr(e)
                 enc_aux.append((f"mbt{i}", _rule_expr(e)))

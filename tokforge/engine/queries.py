@@ -138,6 +138,14 @@ OP_CHAINS_EXTRA: dict[str, str] = {
     "op_png_palette_off": "png_options:0:0:8/format:png",  # quantize off -> no-op
     "op_jpeg_progressive": "jpeg_options:1/quality:90/format:jpeg",
     "op_jpeg_progressive_odd": "crop:33:0/jpeg_options:1/format:jpeg",
+    # avif subsample knob (round 5: APPLIED, save.rs:145-151 — reference
+    # subsamples avif by default, avif_options:1 = no_subsample turns it
+    # off).  Driver-gated arm: op_resize_auto_quality (avif output, default
+    # subsample ON).  webp options stay a documented parse-only no-op,
+    # matching the reference's crashing-bindings workaround (save.rs:114-118).
+    "op_avif_no_subsample": "avif_options:1/quality:30/format:avif",
+    "op_avif_subsample_odd": "crop:33:0/quality:90/format:avif",
+    "op_avif_subsample_max_bytes": "size:64/max_bytes:120/format:avif",
     "op_progressive_maxbytes": "quality:30/max_bytes:200/jpeg_options:1/format:jpeg",
     "op_palette_maxbytes": "png_options:0:1:32/max_bytes:120/format:png",
 }
@@ -224,6 +232,29 @@ FROM req"""
 # ---------------------------------------------------------------------------
 
 
+_PATHPARSE_FIXTURES: dict[tuple, str] = {}
+
+
+def _pathparse_fixture_dir(spark: SparkSession, sf_dir: str, built: DataFrame) -> str:
+    """Write the path fixture once per (session, sf_dir), under an
+    atexit-cleaned scratch dir (TOKFORGE_SCRATCH_DIR overrides the root)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PATHPARSE_FIXTURES:
+        root = tempfile.mkdtemp(
+            prefix="tokforge-pathparse-",
+            dir=os.environ.get("TOKFORGE_SCRATCH_DIR") or None,
+        )
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        built.write.mode("overwrite").parquet(root + "/paths")
+        _PATHPARSE_FIXTURES[key] = root + "/paths"
+    return _PATHPARSE_FIXTURES[key]
+
+
 def q_path_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL envelope flow, end to end: build one path string per
     document cycling through the grammar (multipart plain, plain@ext,
@@ -294,12 +325,12 @@ def q_path_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at minutes even at sf0.001).  Production parses paths that already
     # EXIST as a storage column — this write recreates that shape, exactly
     # like the streaming gate queries materialize their input drops.
-    import tempfile
-
+    # Written ONCE per (session, sf_dir) and removed at interpreter exit;
+    # TOKFORGE_SCRATCH_DIR overrides the scratch root (on a multi-node
+    # cluster point it at a shared filesystem — driver-local /tmp only
+    # works because local/local-cluster executors share the driver's FS).
     built = docs.select(ds.alias("doc_id"), path.alias("path"))
-    tmp = tempfile.mkdtemp(prefix="tokforge-pathparse-") + "/paths"
-    built.write.mode("overwrite").parquet(tmp)
-    paths = spark.read.parquet(tmp)
+    paths = spark.read.parquet(_pathparse_fixture_dir(spark, sf_dir, built))
     parsed = paths.select("doc_id", parse_path_col(F.col("path")).alias("p"))
     p = F.col("p")
     sig_ok = (
@@ -489,6 +520,11 @@ FROM ({ib}) t WHERE CAST(doc_id AS BIGINT) % 2 = 1"""
 # auto_rotate off so the non-skip arm is a pure truncate (EXIF coverage
 # lives in op_exif_zoom / op_rotate_gif); the skip arm bypasses EXIF anyway
 _POLICY_CHAIN = "skip_processing:int16/auto_rotate:false/resize:fit:24"
+# Corrupted ops chain: an invalid option ARGUMENT fails typed parsing
+# (options.rs typed-arm errors; imgforge rejects the request 400) — the
+# parse-error class of the status taxonomy (service.rs:676-800).
+_POLICY_BAD_CHAIN = "quality:notanint/format:int32"
+_POLICY_BAD_ERROR = "Invalid integer for quality: notanint"
 _POLICY_CONFIG = EngineConfig(
     bearer_token="tokforge-bearer",
     allowed_src_dtypes=("int32", "int16"),
@@ -496,8 +532,11 @@ _POLICY_CONFIG = EngineConfig(
 
 
 def q_admission_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three admission/bypass layers in one pass:
+    """Four admission/bypass layers in one pass:
     - doc_id%5==0 rows carry a WRONG bearer -> filtered out entirely (403);
+    - doc_id%7==3 rows carry a CORRUPTED ops chain (invalid option arg) ->
+      parse-error row, status 400 (checked before every other gate, like
+      the reference parses options before touching the source);
     - src_dtype uint8 (doc_id%3==2) is outside the allowlist -> error row;
     - src_dtype int16 (doc_id%3==1) matches skip_processing and the chain
       names no format -> full bypass (tokens untouched, quality 0);
@@ -509,6 +548,9 @@ def q_admission_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(d % 5 == 0, F.lit("wrong-token")).otherwise(
             F.lit(_POLICY_CONFIG.bearer_token)
         ),
+    ).withColumn(
+        "ops",
+        F.when(d % 7 == 3, F.lit(_POLICY_BAD_CHAIN)).otherwise(F.col("ops")),
     )
     out = transform_requests(req, _POLICY_CONFIG, verify=False)
     return out.select(
@@ -532,28 +574,36 @@ def q_admission_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # identity below VOCAB.
 SQL_ADMISSION_POLICY = f"""WITH {sql_requests_cte()}
 SELECT doc_id,
-       CASE WHEN doc_num % 3 = 2 THEN 0
+       CASE WHEN doc_num % 7 = 3 THEN 0
+            WHEN doc_num % 3 = 2 THEN 0
             WHEN doc_num % 3 = 1 THEN n_tok
             ELSE least(n_tok, 24) END AS n_out,
-       CASE WHEN doc_num % 3 = 2 THEN NULL
+       CASE WHEN doc_num % 7 = 3 THEN NULL
+            WHEN doc_num % 3 = 2 THEN NULL
             WHEN doc_num % 3 = 1 THEN md5(array_to_string(tokens, ','))
             ELSE md5(array_to_string(list_slice(tokens, 1, least(n_tok, 24)), ','))
        END AS tokens_md5,
-       CASE WHEN doc_num % 3 = 2 THEN NULL
+       CASE WHEN doc_num % 7 = 3 THEN NULL
+            WHEN doc_num % 3 = 2 THEN NULL
             WHEN doc_num % 3 = 1 THEN 'int16'
             ELSE 'int32' END AS dtype,
-       CAST(CASE WHEN doc_num % 3 = 2 THEN 0
+       CAST(CASE WHEN doc_num % 7 = 3 THEN 0
+            WHEN doc_num % 3 = 2 THEN 0
             WHEN doc_num % 3 = 1 THEN n_tok * 2
             ELSE least(n_tok, 24) * 4 END AS BIGINT) AS size_bytes,
-       CASE WHEN doc_num % 3 = 2 THEN 0
+       CASE WHEN doc_num % 7 = 3 THEN 0
+            WHEN doc_num % 3 = 2 THEN 0
             WHEN doc_num % 3 = 1 THEN 0
             ELSE 85 END AS quality,
-       CASE WHEN doc_num % 3 = 2 THEN NULL
+       CASE WHEN doc_num % 7 = 3 THEN NULL
+            WHEN doc_num % 3 = 2 THEN NULL
             WHEN doc_num % 3 = 1 THEN 'int16'
             ELSE 'int32' END AS fmt,
-       CASE WHEN doc_num % 3 = 2 THEN 'Source type not allowed'
+       CASE WHEN doc_num % 7 = 3 THEN '{_POLICY_BAD_ERROR}'
+            WHEN doc_num % 3 = 2 THEN 'Source type not allowed'
             ELSE NULL END AS error,
-       CAST(CASE WHEN doc_num % 3 = 2 THEN 400 ELSE 200 END AS INTEGER) AS status
+       CAST(CASE WHEN doc_num % 7 = 3 THEN 400
+            WHEN doc_num % 3 = 2 THEN 400 ELSE 200 END AS INTEGER) AS status
 FROM req
 WHERE doc_num % 5 <> 0"""
 

@@ -577,6 +577,27 @@ def op_palette(t: np.ndarray, colors: int) -> np.ndarray:
     return (bucket * cell + cell // 2).astype(t.dtype)
 
 
+def op_subsample(t: np.ndarray) -> np.ndarray:
+    """AVIF chroma-subsampling analog (reference: save.rs:145-151 —
+    ``subsample_mode: Auto`` unless ``avif.no_subsample``, i.e. the
+    reference SUBSAMPLES BY DEFAULT for avif): each odd position takes
+    its even neighbor's value, the 1-D twin of 4:2:0 sharing one chroma
+    sample per pixel pair.  Pair-sharing creates runs, so it genuinely
+    shrinks the RLE encoded size and interacts with the max_bytes
+    walk-down like a real subsample toggle changes bitrate."""
+    out = t.copy()
+    odd = out[1::2]
+    odd[:] = out[0::2][: odd.shape[0]]
+    return out
+
+
+def _avif_subsample(save) -> bool:
+    """True when avif output should subsample: the reference default is
+    Auto (ON); ``avif_options:1`` (no_subsample) turns it off
+    (save.rs:145-151)."""
+    return not (save is not None and save.avif.get("no_subsample"))
+
+
 def op_progressive(t: np.ndarray) -> np.ndarray:
     """JPEG progressive-scan analog (reference: save.rs:84,
     ``interlace: save_jpeg_progressive()``): re-lay the sequence as a
@@ -634,10 +655,10 @@ def op_encode(
     save=None,
 ) -> EncodeResult:
     """Format -> dtype recast + lossy quantization + encoder knobs
-    (png palette fold, jpeg progressive layout) + max_bytes quality loop
-    (reference: save.rs:31-118).  Canonical stage order, shared verbatim
-    by the rect kernel and the SQL oracle:
-    quantize -> palette -> dtype rule -> progressive -> size."""
+    (png palette fold, jpeg progressive layout, avif subsample) +
+    max_bytes quality loop (reference: save.rs:31-118).  Canonical stage
+    order, shared verbatim by the rect kernel and the SQL oracle:
+    quantize -> subsample -> palette -> dtype rule -> progressive -> size."""
     fmt = fmt.lower()
     spec = FORMAT_SPECS.get(fmt)
     if spec is None:
@@ -645,6 +666,7 @@ def op_encode(
     dtype, elem_bytes, lossy, rule = spec
     palette_k = _palette_colors(save) if fmt == "png" else None
     progressive = fmt in ("jpeg", "jpg") and _jpeg_progressive(save)
+    subsample = fmt == "avif" and _avif_subsample(save)
 
     q = min(max(quality, 1), 100)
     base = t.astype(np.int64)
@@ -653,6 +675,8 @@ def op_encode(
         out = base
         if lossy:
             out = op_quantize(out, quality_step(q))
+        if subsample:
+            out = op_subsample(out)
         if palette_k is not None:
             out = op_palette(out, palette_k)
         out = apply_dtype_rule(out, rule)
@@ -667,6 +691,8 @@ def op_encode(
         out = base
         if lossy or quality_now < q:
             out = op_quantize(out, quality_step(quality_now))
+        if subsample:
+            out = op_subsample(out)
         if palette_k is not None:
             out = op_palette(out, palette_k)
         out = apply_dtype_rule(out, rule)

@@ -34,6 +34,7 @@ from tokforge.constants import (
 )
 from tokforge.operators.kernel import (
     TransformError,
+    _avif_subsample,
     _jpeg_progressive,
     _palette_colors,
     default_bg_token,
@@ -210,6 +211,15 @@ def _runs_per_row(mat: np.ndarray) -> np.ndarray:
     if mat.shape[1] == 0:
         return np.zeros(mat.shape[0], dtype=np.int64)
     return 1 + np.count_nonzero(mat[:, 1:] != mat[:, :-1], axis=1).astype(np.int64)
+
+
+def _subsample_rect(mat: np.ndarray) -> np.ndarray:
+    """Row-parallel kernel.op_subsample: odd columns take their even
+    neighbor (AVIF 4:2:0 analog, save.rs:145-151)."""
+    out = mat.copy()
+    odd = out[:, 1::2]
+    odd[:] = out[:, 0::2][:, : odd.shape[1]]
+    return out
 
 
 def _palette_rect(mat: np.ndarray, colors: int) -> np.ndarray:
@@ -452,10 +462,11 @@ def apply_plan_rect(
     if quality is None:
         quality = plan.save.format_quality.get(fmt, DEFAULT_QUALITY)
     q = min(max(quality, 1), 100)
-    # encoder knobs (canonical order quantize -> palette -> rule ->
-    # progressive, same as kernel.op_encode / the SQL oracle)
+    # encoder knobs (canonical order quantize -> subsample -> palette ->
+    # rule -> progressive, same as kernel.op_encode / the SQL oracle)
     palette_k = _palette_colors(plan.save) if fmt == "png" else None
     progressive = fmt in ("jpeg", "jpg") and _jpeg_progressive(plan.save)
+    subsample = fmt == "avif" and _avif_subsample(plan.save)
     n_cols = t.shape[1]
     prog_perm = (
         np.concatenate([np.arange(0, n_cols, 2), np.arange(1, n_cols, 2)])
@@ -471,6 +482,8 @@ def apply_plan_rect(
                 r = out % step  # one temp: out - (out % step) in place
                 np.subtract(out, r, out=r)
                 out = r
+        if subsample:
+            out = _subsample_rect(out)
         if palette_k is not None:
             out = _palette_rect(out, palette_k)
         out = _apply_dtype_rule_rect(out, rule)
@@ -499,6 +512,8 @@ def apply_plan_rect(
                 if step > 1:
                     e = e - (e % step)
             enc[mask_u] = e
+        if subsample:
+            enc = _subsample_rect(enc)
         if palette_k is not None:
             enc = _palette_rect(enc, palette_k)
         enc = _apply_dtype_rule_rect(enc, rule)

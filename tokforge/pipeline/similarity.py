@@ -306,21 +306,22 @@ def _sql_bucket(col: str = "embedding") -> str:
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
-def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: sign-LSH blocking over
-    NEAR_DUP_BITS hyperplanes with 1-bit multi-probe (side B explodes each
-    vector into its bucket plus the `bits` Hamming-1 neighbours), exact
-    cosine on the candidates, keep pairs above the threshold.  Candidate
-    volume is O(n^2 / 2^bits * (bits+1)) — bounded by the bits knob, never
-    all-pairs."""
-    emb = load_embeddings(spark, sf_dir).select(
-        "vec_id", "embedding", _bucket_spark(F.col("embedding")).alias("bucket")
-    )
+def _near_dup_join(
+    emb: DataFrame,
+    bits: int = NEAR_DUP_BITS,
+    threshold: float = NEAR_DUP_THRESHOLD,
+) -> DataFrame:
+    """Shared candidate join for sign-LSH near-dup: ``emb`` carries
+    (vec_id, embedding, bucket); side B explodes each vector into its
+    bucket plus the `bits` Hamming-1 neighbours (1-bit multi-probe), exact
+    cosine runs on candidates only, pairs above threshold survive.
+    Candidate volume is O(n^2 / 2^bits * (bits+1)) — bounded by the bits
+    knob, never all-pairs."""
     probes = F.array(
         F.col("bucket"),
         *[
             F.col("bucket").bitwiseXOR(F.lit(1 << i)).cast("long")
-            for i in range(NEAR_DUP_BITS)
+            for i in range(bits)
         ],
     )
     b = emb.select(
@@ -340,8 +341,112 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("bucket") == F.col("probe")) & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
         .distinct()
-        .filter(F.col("cos_sim") >= NEAR_DUP_THRESHOLD)
+        .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, axis-aligned sign-LSH
+    blocking (sign pattern of the first NEAR_DUP_BITS dims — the
+    deterministic default that keeps the DuckDB oracle expressible; fine
+    for the roughly centered synthetic corpus).  For real, shifted /
+    correlated embedding distributions use q_embed_near_dup_random."""
+    emb = load_embeddings(spark, sf_dir).select(
+        "vec_id", "embedding", _bucket_spark(F.col("embedding")).alias("bucket")
+    )
+    return _near_dup_join(emb)
+
+
+# --- random-hyperplane sign-LSH (round 5) ----------------------------------
+
+EMBED_DIM = 64  # the testdata embeddings table's fixed dimension
+NEAR_DUP_SEED = 20240817
+
+
+def _random_hyperplanes(dim: int, bits: int = NEAR_DUP_BITS, seed: int = NEAR_DUP_SEED):
+    """Seeded standard-normal hyperplane normals (bits x dim) — the
+    classic random-projection sign-LSH construction (Charikar STOC'02).
+    Deterministic for (dim, bits, seed): every executor regenerates the
+    identical matrix from the closure; nothing to ship or checkpoint."""
+    import numpy as np
+
+    return np.random.default_rng(seed).standard_normal((bits, dim))
+
+
+def buckets_random_arrow(
+    emb: DataFrame,
+    dim: int = EMBED_DIM,
+    bits: int = NEAR_DUP_BITS,
+    seed: int = NEAR_DUP_SEED,
+    center: bool = True,
+) -> DataFrame:
+    """`bucket` from seeded RANDOM hyperplanes over (optionally) mean-
+    centered embeddings — one Arrow-batched pass, (X - mean) @ planes.T
+    in numpy, no per-row Python.
+
+    Why this exists: the axis-aligned bucketing (sign of the first `bits`
+    dims) assumes roughly centered, axis-spread embeddings.  Real
+    embedding distributions are shifted and correlated; axis signs can
+    then collapse into a handful of buckets — recall survives but
+    pruning dies (candidates degrade toward all-pairs).  Random
+    hyperplanes spread whatever direction structure exists across every
+    bit, and mean-centering removes the common offset that would
+    otherwise freeze a bit entirely (sign(w.(c+e)) == sign(w.c) whenever
+    |w.c| >> |w.e|).  The mean is one map-side-combinable agg (`dim`
+    doubles — broadcast-size); tests/test_similarity_random_lsh.py shows
+    recall AND pruning holding on a shifted corpus where axis bucketing
+    collapses to one bucket."""
+    import numpy as np
+    import pyarrow as pa
+
+    planes = _random_hyperplanes(dim, bits, seed)
+    if center:
+        row = emb.agg(
+            *[
+                F.avg(F.element_at("embedding", i + 1)).alias(f"m{i}")
+                for i in range(dim)
+            ]
+        ).collect()[0]
+        mean = np.array([float(row[f"m{i}"] or 0.0) for i in range(dim)])
+    else:
+        mean = np.zeros(dim, dtype=np.float64)
+    weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.int64)
+
+    def fn(batches):
+        for batch in batches:
+            col = batch.column("embedding")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            values = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+            values = values[offsets[0] : offsets[-1]]
+            x = values.reshape(-1, dim)  # fixed-dim corpus (load invariant)
+            sign_bits = ((x - mean) @ planes.T) >= 0.0
+            bucket = sign_bits.astype(np.int64) @ weights
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("vec_id"),
+                    batch.column("embedding"),
+                    pa.array(bucket, type=pa.int64()),
+                ],
+                names=["vec_id", "embedding", "bucket"],
+            )
+
+    return emb.select("vec_id", "embedding").mapInArrow(
+        fn, "vec_id bigint, embedding array<float>, bucket bigint"
+    )
+
+
+def q_embed_near_dup_random(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = NEAR_DUP_THRESHOLD,
+) -> DataFrame:
+    """Near-dup pairs with the random-hyperplane bucketing — the
+    distribution-robust variant (pytest-covered; the driver-gated row
+    keeps the axis default so the DuckDB oracle stays exact)."""
+    emb = load_embeddings(spark, sf_dir)
+    return _near_dup_join(buckets_random_arrow(emb), threshold=threshold)
 
 
 def _sql_embed_near_dup() -> str:

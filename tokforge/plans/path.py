@@ -74,8 +74,18 @@ def _decode_source(kind: str, raw: str) -> str | None:
         return None
     try:
         pad = "=" * (-len(raw) % 4)
-        return base64.urlsafe_b64decode(raw + pad).decode("utf-8")
-    except (binascii.Error, UnicodeDecodeError, ValueError):
+        data = base64.urlsafe_b64decode(raw + pad)
+    except (binascii.Error, ValueError):
+        return None
+    # Rust URL_SAFE_NO_PAD is canonical-strict: nonzero trailing bits
+    # (e.g. 'ab', whose last char carries 4 dangling bits) are a decode
+    # error, while Python's decoder silently drops them — re-encode and
+    # compare to reject the non-canonical forms the reference rejects.
+    if base64.urlsafe_b64encode(data).decode().rstrip("=") != raw:
+        return None
+    try:
+        return data.decode("utf-8")
+    except UnicodeDecodeError:
         return None
 
 
@@ -187,33 +197,46 @@ def parse_path_col(path: Column) -> Column:
     ext = F.when(is_plain, p_ext).otherwise(b_ext)
     # plain decode: pre-escape '+' so url_decode's form-urlencoded '+'->' '
     # rule cannot fire (the reference's percent_decode leaves '+' alone,
-    # url.rs:34-37); a path with ANY malformed escape passes through
-    # undecoded (url_decode would throw; the reference partially decodes —
-    # divergence only on mixed valid+invalid escapes, documented here).
+    # url.rs:34-37), then pre-escape every MALFORMED '%' (one not followed
+    # by two hex digits) to '%25' so url_decode renders it literally while
+    # still decoding the valid escapes around it — exactly the reference's
+    # partial-decode behavior ('a%41%zz' -> 'aA%zz'), matching the scalar
+    # parser (Python unquote has the same pass-through rule).
     # Escapes of bytes that are NOT valid UTF-8 (e.g. %FF): java's decoder
     # substitutes U+FFFD where Rust's decode_utf8 errors — map a decode
     # that INTRODUCED replacement chars to null, matching the scalar
     # parser (only a URL that literally percent-encodes U+FFFD itself
     # would be over-nulled; accepted corner, asserted in the test corpus).
-    decoded_plain = F.url_decode(F.replace(p_raw, F.lit("+"), F.lit("%2B")))
-    plain_url = F.when(p_raw.rlike(_MALFORMED_PCT), p_raw).otherwise(
-        F.when(
-            decoded_plain.contains("�") & ~p_raw.contains("�"),
-            F.lit(None).cast("string"),
-        ).otherwise(decoded_plain)
+    decoded_plain = F.url_decode(
+        F.regexp_replace(
+            F.replace(p_raw, F.lit("+"), F.lit("%2B")), _MALFORMED_PCT, "%25"
+        )
     )
+    plain_url = F.when(
+        decoded_plain.contains("�") & ~p_raw.contains("�"),
+        F.lit(None).cast("string"),
+    ).otherwise(decoded_plain)
     # base64 decode: strict url-safe alphabet + length check mirrors Rust
     # URL_SAFE_NO_PAD (invalid -> null source_url, the decode-error
     # analog).  The binary -> string CAST never throws (raw bytes pass
     # through), and try_validate_utf8 nulls invalid UTF-8 — per-ROW
     # failure semantics; F.decode(..., 'UTF-8') would abort the whole job
-    # on one malformed request at 10^12-row scale.
+    # on one malformed request at 10^12-row scale.  URL_SAFE_NO_PAD is
+    # also canonical-strict: re-encode the decoded bytes and require an
+    # exact round-trip, rejecting dangling-bit forms like 'ab' that the
+    # lenient JVM/Python decoders silently accept (scalar parser: same
+    # re-encode check in _decode_source).
     b64_ok = b_raw.rlike("^[A-Za-z0-9_-]*$") & (F.length(b_raw) % 4 != 1)
+    b64_bytes = F.unbase64(F.translate(b_raw, "-_", "+/"))
+    b64_canonical = (
+        F.translate(
+            F.regexp_replace(F.base64(b64_bytes), "=+$", ""), "+/", "-_"
+        )
+        == b_raw
+    )
     b64_url = F.when(
         b64_ok,
-        F.try_validate_utf8(
-            F.unbase64(F.translate(b_raw, "-_", "+/")).cast("string")
-        ),
+        F.when(b64_canonical, F.try_validate_utf8(b64_bytes.cast("string"))),
     )
     source_url = F.when(is_plain, plain_url).otherwise(b64_url)
 
