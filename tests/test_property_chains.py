@@ -23,7 +23,7 @@ import os
 _EXAMPLES = int(os.environ.get("TOKFORGE_FUZZ_EXAMPLES", "60"))
 
 _GRAVITIES = ["no", "so", "ea", "we", "noea", "nowe", "soea", "sowe", "ce"]
-_FORMATS = ["png", "jpeg", "gif", "webp", "tiff", "avif", "int16", "uint8", "int64"]
+_FORMATS = ["png", "jpeg", "gif", "webp", "tiff", "avif", "heif", "int16", "uint8", "int64"]
 _ALGOS = ["nearest", "linear", "cubic", "lanczos2", "lanczos3"]
 
 

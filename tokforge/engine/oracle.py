@@ -560,7 +560,7 @@ FROM {steps.current}"""
         # palette -> dtype rule -> progressive -> size)
         palette_k = _palette_colors(plan.save) if out_fmt == "png" else None
         progressive = out_fmt in ("jpeg", "jpg") and _jpeg_progressive(plan.save)
-        subsample = out_fmt == "avif" and _avif_subsample(plan.save)
+        subsample = out_fmt in ("avif", "heif") and _avif_subsample(plan.save)
 
         def _subsample_expr(e: str) -> str:
             # kernel.op_subsample: 0-based odd position takes its even

@@ -146,6 +146,10 @@ OP_CHAINS_EXTRA: dict[str, str] = {
     "op_avif_no_subsample": "avif_options:1/quality:30/format:avif",
     "op_avif_subsample_odd": "crop:33:0/quality:90/format:avif",
     "op_avif_subsample_max_bytes": "size:64/max_bytes:120/format:avif",
+    # heif shares the avif options block in the reference encoder
+    # (save.rs:160-172 uses options.avif.no_subsample for heif too)
+    "op_heif_subsample": "quality:95/format:heif",
+    "op_heif_no_subsample": "avif_options:1/quality:95/format:heif",
     "op_progressive_maxbytes": "quality:30/max_bytes:200/jpeg_options:1/format:jpeg",
     "op_palette_maxbytes": "png_options:0:1:32/max_bytes:120/format:png",
 }

@@ -666,7 +666,7 @@ def op_encode(
     dtype, elem_bytes, lossy, rule = spec
     palette_k = _palette_colors(save) if fmt == "png" else None
     progressive = fmt in ("jpeg", "jpg") and _jpeg_progressive(save)
-    subsample = fmt == "avif" and _avif_subsample(save)
+    subsample = fmt in ("avif", "heif") and _avif_subsample(save)
 
     q = min(max(quality, 1), 100)
     base = t.astype(np.int64)

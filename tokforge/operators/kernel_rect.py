@@ -466,7 +466,7 @@ def apply_plan_rect(
     # rule -> progressive, same as kernel.op_encode / the SQL oracle)
     palette_k = _palette_colors(plan.save) if fmt == "png" else None
     progressive = fmt in ("jpeg", "jpg") and _jpeg_progressive(plan.save)
-    subsample = fmt == "avif" and _avif_subsample(plan.save)
+    subsample = fmt in ("avif", "heif") and _avif_subsample(plan.save)
     n_cols = t.shape[1]
     prog_perm = (
         np.concatenate([np.arange(0, n_cols, 2), np.arange(1, n_cols, 2)])
