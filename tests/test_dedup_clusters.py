@@ -1,0 +1,70 @@
+"""Near-dup clustering capstone: pairs -> connected components -> one
+canonical doc kept per cluster (the decision a training-data dedup
+pipeline executes).  Deterministic known graphs + the real LSH-pairs
+feed.  (Each connected_components call runs several join rounds on local
+Spark, so the known-graph cases share ONE composite graph.)"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_SMALL
+from tokforge.pipeline.dedup import (
+    connected_components,
+    keep_canonical,
+    q_dedup_clusters,
+    q_lsh_pairs,
+)
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "doc_a string, doc_b string")
+
+
+def test_components_known_graph(spark):
+    """One composite graph covering: a simple pair-chain cluster, two
+    triangles merged by a bridge edge, and a 6-node path (diameter 5 —
+    exercises the multi-round propagation loop)."""
+    edges = (
+        [("a", "b"), ("b", "c")]                       # {a,b,c}
+        + [("p", "q"), ("q", "r"), ("p", "r"),
+           ("x", "y"), ("y", "z"), ("x", "z"),
+           ("r", "x")]                                  # bridge -> {p..z}
+        + [(f"n{i}", f"n{i + 1}") for i in range(5)]    # path n0..n5
+    )
+    comp = dict(connected_components(_pairs(spark, edges)).collect())
+    assert {k: v for k, v in comp.items() if k in "abc"} == {
+        "a": "a", "b": "a", "c": "a"
+    }
+    assert {comp[k] for k in ("p", "q", "r", "x", "y", "z")} == {"p"}
+    assert {comp[f"n{i}"] for i in range(6)} == {"n0"}, "path must converge"
+
+
+def test_keep_canonical_decision(spark):
+    docs = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("e",), ("f",)], "doc_id string"
+    )
+    out = keep_canonical(docs, _pairs(spark, [("a", "b"), ("d", "e")]))
+    rows = {r["doc_id"]: (r["component"], r["keep"]) for r in out.collect()}
+    assert rows == {
+        "a": ("a", True),
+        "b": ("a", False),
+        "d": ("d", True),
+        "e": ("d", False),
+        # unpaired docs are their own cluster and survive
+        "c": ("c", True),
+        "f": ("f", True),
+    }
+
+
+def test_clusters_consistent_with_lsh_pairs(spark):
+    """On the real feed: both endpoints of every LSH pair share a
+    component, and each component's label is one of its members (the
+    minimum)."""
+    comp = dict(q_dedup_clusters(spark, SF_SMALL).collect())
+    pairs = q_lsh_pairs(spark, SF_SMALL).select("doc_a", "doc_b").collect()
+    assert pairs, "fixture must produce candidate pairs"
+    for r in pairs:
+        assert comp[r["doc_a"]] == comp[r["doc_b"]], (r, "split cluster")
+    for doc, label in comp.items():
+        assert label <= doc  # canonical = minimum member

@@ -429,6 +429,105 @@ JOIN toks a ON a.doc_id = c.doc_a
 JOIN toks b ON b.doc_id = c.doc_b"""
 
 
+def connected_components(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair list -> one row per
+    node: (doc_id, component), where component is the MINIMUM node id
+    reachable (string ids compare lexicographically — any total order
+    gives a deterministic canonical representative).
+
+    This is the dedup capstone the pair queries feed: near-dup PAIRS
+    become near-dup CLUSTERS, and a cluster keeps one canonical doc
+    (keep_canonical below) — the keep/drop decision a training-data
+    pipeline actually executes.
+
+    Algorithm: iterative min-label propagation — each round every node
+    adopts the smallest label among itself and its neighbours (one hash
+    join edge->label + one map-side-combinable min-agg per round, both
+    shuffling on the same doc-id key), until a round changes no label
+    (driver reads ONE aggregated count per round).  Rounds needed = graph
+    diameter; near-dup clusters are shallow (a dup set's members all
+    touch its minimum within a hop or two), so real dedup workloads
+    converge in 2-3 rounds.  For adversarially deep graphs (long chains)
+    the O(log n)-round alternating large-star/small-star construction
+    (Kiveris et al., 'Connected Components in MapReduce and Beyond') is
+    the drop-in upgrade; plain propagation wins here on per-round cost
+    and simplicity.  Each round's result is persisted and the previous
+    round unpersisted, so lineage stays one round deep."""
+    edges = pairs.select(
+        F.col(a).alias("src"), F.col(b).alias("dst")
+    ).union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iterations):
+        neigh_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"), F.col("component").alias("dst_comp")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_comp").alias("neigh_comp"))
+        )
+        new_labels = (
+            labels.join(
+                neigh_min.select(F.col("src").alias("doc_id"), "neigh_comp"),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce("neigh_comp", "component")
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def keep_canonical(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The dedup DECISION over a corpus: every near-dup cluster keeps its
+    canonical (minimum-id) member; documents in no cluster keep
+    themselves.  Returns ``docs`` plus `component` and a `keep` boolean —
+    `docs.filter('keep')` is the deduplicated corpus.  Cost: the
+    clustering above + one left join on the doc id."""
+    comp = connected_components(pairs).withColumnRenamed("doc_id", "__cc_id")
+    out = docs.join(comp, docs[id_col] == F.col("__cc_id"), "left").drop("__cc_id")
+    component = F.coalesce(F.col("component"), F.col(id_col))
+    return out.withColumn("component", component).withColumn(
+        "keep", F.col(id_col) == F.col("component")
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH pairs -> components (pytest-covered; the driver registry stays
+    at the 50-query window)."""
+    return connected_components(q_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b"))
+
+
 DEDUP_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_signatures": (q_minhash_signatures, _sql_minhash_signatures()),
