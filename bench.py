@@ -29,9 +29,10 @@ def kill_stray_spark_jvms() -> list[int]:
     """Guard against the sandbox's documented worst failure mode: a
     timeout-killed pytest/python that owned a SparkSession leaves its JVM
     spinning at 400%+ CPU indefinitely (it polluted a whole round-4
-    scaling sweep and slowed pytest 10x — BENCH.md method notes).  At this
-    point bench.py owns no JVM yet, so EVERY SparkSubmit process on the
-    box is a stray from a dead session; kill them before any timing."""
+    scaling sweep and slowed pytest 10x — BENCH.md method notes).  Only
+    ORPHANED SparkSubmit JVMs (reparented to init after their python
+    driver died) are killed — a live concurrent session's JVM still has
+    its python parent and is left alone."""
     try:
         out = subprocess.run(
             ["pgrep", "-f", "SparkSubmit"], capture_output=True, text=True
@@ -46,6 +47,15 @@ def kill_stray_spark_jvms() -> list[int]:
             continue
         if pid == os.getpid():
             continue
+        try:
+            with open(f"/proc/{pid}/stat") as fh:
+                # field 4 (after the parenthesized comm, which never
+                # contains ')' for java) is ppid
+                ppid = int(fh.read().rsplit(")", 1)[1].split()[1])
+        except (OSError, IndexError, ValueError):
+            continue
+        if ppid != 1:
+            continue  # still owned by a live driver process
         try:
             os.kill(pid, signal.SIGKILL)
             killed.append(pid)
@@ -298,7 +308,13 @@ def bench_stream_sustained(in_small: str, in_vol: str):
     best = None
     for li in range(launches):
         out = subprocess.run(
-            [sys.executable, __file__, "--sustained-run", in_small, in_vol],
+            [
+                sys.executable,
+                str(Path(__file__).resolve()),
+                "--sustained-run",
+                in_small,
+                in_vol,
+            ],
             capture_output=True,
             text=True,
             cwd=str(Path(__file__).resolve().parent),

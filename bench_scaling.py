@@ -168,6 +168,13 @@ def main() -> None:
         print(json.dumps(run_one(sys.argv[2], sys.argv[3])))
         return
 
+    # CLAUDE.md timing-run precondition (orphaned 400%-CPU JVMs polluted a
+    # round-4 sweep): clear orphans before the first launch; parent-mode
+    # only — children run while sibling JVMs legitimately exist
+    import bench
+
+    bench.kill_stray_spark_jvms()
+
     pairs_spec = os.environ.get(
         "TOKFORGE_SCALE_PAIRS", "t1:t4:96,t8:t32:96,c1x2:c4x2:48"
     )

@@ -105,8 +105,11 @@ def test_random_buckets_recall_and_pruning_on_shifted_corpus(spark):
 
 
 def test_random_buckets_deterministic(spark):
-    """Same seed -> identical buckets across independent invocations
-    (replay/checkpoint safety: the matrix regenerates from the closure)."""
+    """Same seed + same session -> identical buckets across independent
+    invocations (the hyperplane matrix regenerates from the closure).
+    Strict CROSS-run replay additionally requires passing the recorded
+    `mean` — F.avg's float-sum order is partitioning-dependent (see the
+    buckets_random_arrow docstring)."""
     emb, _ = _emb_df(spark)
     b1 = dict(
         buckets_random_arrow(emb, dim=DIM).select("vec_id", "bucket").collect()

@@ -959,7 +959,6 @@ def test_volume_checkpoint_resume_rocksdb(spark, tmp_path):
     distinct = sunk.select("cache_key", "doc_id", "ts").distinct().count()
     assert distinct == n_total, "replayed duplicates in the sink"
 
-    interrupted = partial < n_total
     try:  # best-effort evidence artifact; never fail the test on IO
         runs = Path(__file__).resolve().parent.parent / "bench_runs"
         runs.mkdir(exist_ok=True)
@@ -968,7 +967,7 @@ def test_volume_checkpoint_resume_rocksdb(spark, tmp_path):
                 {
                     "rows_total": total,
                     "rows_before_kill": partial,
-                    "interrupted_mid_stream": interrupted,
+                    "interrupted_mid_stream": True,  # asserted above
                     "phase1_seconds": round(t_killed - t0, 3),
                     "recovery_seconds": round(recovery_s, 3),
                     "provider": "rocksdb",

@@ -615,20 +615,39 @@ FROM {steps.current}"""
                 if qq <= 1:
                     break
                 qq = max(qq - 5, 1)
-            enc_aux = []
-            for i, qc in enumerate(cands):
-                e = "t"
+            def _quantize_candidate(qc: int) -> str:
                 # kernel: quantize when the format is lossy OR the walk-down
                 # already lowered quality below the starting q.
                 if lossy or qc < quality:
                     step = quality_step(qc)
                     if step > 1:
-                        e = f"list_transform(t, x -> x - x % {step})"
-                if subsample:
-                    e = _subsample_expr(e)
-                if palette_k is not None:
-                    e = _palette_expr(e)
-                enc_aux.append((f"mbt{i}", _rule_expr(e)))
+                        return f"list_transform(t, x -> x - x % {step})"
+                return "t"
+
+            enc_aux = []
+            if subsample:
+                # _subsample_expr references its input TWICE — name the
+                # quantize candidates first so it subscripts a column,
+                # never a duplicated list_transform (same pattern as the
+                # mbp progressive layer below; inlining made the oracle
+                # O(n^2) per candidate)
+                steps.add_aux(
+                    [
+                        (f"mbq{i}", _quantize_candidate(qc))
+                        for i, qc in enumerate(cands)
+                    ]
+                )
+                for i in range(len(cands)):
+                    e = _subsample_expr(f"mbq{i}")
+                    if palette_k is not None:
+                        e = _palette_expr(e)
+                    enc_aux.append((f"mbt{i}", _rule_expr(e)))
+            else:
+                for i, qc in enumerate(cands):
+                    e = _quantize_candidate(qc)
+                    if palette_k is not None:
+                        e = _palette_expr(e)
+                    enc_aux.append((f"mbt{i}", _rule_expr(e)))
             steps.add_aux(enc_aux)
             enc_name = "mbt"
             if progressive:

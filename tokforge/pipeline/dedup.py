@@ -456,11 +456,17 @@ def connected_components(
     the O(log n)-round alternating large-star/small-star construction
     (Kiveris et al., 'Connected Components in MapReduce and Beyond') is
     the drop-in upgrade; plain propagation wins here on per-round cost
-    and simplicity.  Each round's result is persisted and the previous
-    round unpersisted, so lineage stays one round deep."""
-    edges = pairs.select(
-        F.col(a).alias("src"), F.col(b).alias("dst")
-    ).union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+    and simplicity.  The edge list AND each round's labels are persisted
+    (previous round unpersisted), so neither the upstream pairs plan
+    (e.g. the whole LSH candidate join) nor earlier rounds recompute —
+    lineage stays one round deep.  The RETURNED labels DataFrame is left
+    persisted (callers read it immediately); unpersist it when done with
+    long-lived sessions."""
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .persist()
+    )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -503,6 +509,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
     return labels
 
 

@@ -379,6 +379,7 @@ def buckets_random_arrow(
     bits: int = NEAR_DUP_BITS,
     seed: int = NEAR_DUP_SEED,
     center: bool = True,
+    mean=None,
 ) -> DataFrame:
     """`bucket` from seeded RANDOM hyperplanes over (optionally) mean-
     centered embeddings — one Arrow-batched pass, (X - mean) @ planes.T
@@ -395,12 +396,22 @@ def buckets_random_arrow(
     |w.c| >> |w.e|).  The mean is one map-side-combinable agg (`dim`
     doubles — broadcast-size); tests/test_similarity_random_lsh.py shows
     recall AND pruning holding on a shifted corpus where axis bucketing
-    collapses to one bucket."""
+    collapses to one bucket.
+
+    Determinism: the HYPERPLANES regenerate bit-identically from (dim,
+    bits, seed).  The computed MEAN is float-sum-order dependent
+    (F.avg), so a re-run under a different partitioning can shift it by
+    ULPs and flip the bucket of a vector sitting exactly on a
+    hyperplane; for strict cross-run replay (checkpoint recovery), pass
+    the recorded ``mean`` explicitly — it is part of the model state,
+    like IVF centroids."""
     import numpy as np
     import pyarrow as pa
 
     planes = _random_hyperplanes(dim, bits, seed)
-    if center:
+    if mean is not None:
+        mean = np.asarray(mean, dtype=np.float64)
+    elif center:
         row = emb.agg(
             *[
                 F.avg(F.element_at("embedding", i + 1)).alias(f"m{i}")

@@ -94,6 +94,12 @@ def main() -> None:
     launches = int(os.environ.get("TOKFORGE_CONTROL_LAUNCHES", "5"))
     tag = os.environ.get("TOKFORGE_SCALE_TAG", time.strftime("%Y%m%d-%H%M%S"))
 
+    # CLAUDE.md timing-run precondition: a 400%-CPU orphaned JVM polluted
+    # a whole round-4 sweep — clear orphans before measuring anything
+    import bench
+
+    bench.kill_stray_spark_jvms()
+
     import bench_scaling
 
     in_path = bench_scaling.materialize(48)
