@@ -32,7 +32,9 @@ def test_components_known_graph(spark):
            ("r", "x")]                                  # bridge -> {p..z}
         + [(f"n{i}", f"n{i + 1}") for i in range(5)]    # path n0..n5
     )
-    comp = dict(connected_components(_pairs(spark, edges)).collect())
+    labels = connected_components(_pairs(spark, edges))
+    comp = dict(labels.collect())
+    labels.unpersist()
     assert {k: v for k, v in comp.items() if k in "abc"} == {
         "a": "a", "b": "a", "c": "a"
     }
@@ -46,6 +48,7 @@ def test_keep_canonical_decision(spark):
     )
     out = keep_canonical(docs, _pairs(spark, [("a", "b"), ("d", "e")]))
     rows = {r["doc_id"]: (r["component"], r["keep"]) for r in out.collect()}
+    out.cc_labels.unpersist()
     assert rows == {
         "a": ("a", True),
         "b": ("a", False),
@@ -61,7 +64,9 @@ def test_clusters_consistent_with_lsh_pairs(spark):
     """On the real feed: both endpoints of every LSH pair share a
     component, and each component's label is one of its members (the
     minimum)."""
-    comp = dict(q_dedup_clusters(spark, SF_SMALL).collect())
+    labels = q_dedup_clusters(spark, SF_SMALL)
+    comp = dict(labels.collect())
+    labels.unpersist()
     pairs = q_lsh_pairs(spark, SF_SMALL).select("doc_a", "doc_b").collect()
     assert pairs, "fixture must produce candidate pairs"
     for r in pairs:

@@ -520,13 +520,21 @@ def keep_canonical(
     canonical (minimum-id) member; documents in no cluster keep
     themselves.  Returns ``docs`` plus `component` and a `keep` boolean —
     `docs.filter('keep')` is the deduplicated corpus.  Cost: the
-    clustering above + one left join on the doc id."""
+    clustering above + one left join on the doc id.
+
+    The clustering's persisted label table rides on the result as
+    ``result.cc_labels`` — long-lived sessions should
+    ``result.cc_labels.unpersist()`` once the result is consumed (the
+    labels are left cached so consuming the join does not recompute the
+    iterative rounds)."""
     comp = connected_components(pairs).withColumnRenamed("doc_id", "__cc_id")
     out = docs.join(comp, docs[id_col] == F.col("__cc_id"), "left").drop("__cc_id")
     component = F.coalesce(F.col("component"), F.col(id_col))
-    return out.withColumn("component", component).withColumn(
+    out = out.withColumn("component", component).withColumn(
         "keep", F.col(id_col) == F.col("component")
     )
+    out.cc_labels = comp
+    return out
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
