@@ -1,0 +1,117 @@
+"""Sequence packing (tokforge/pipeline/pack.py): no-gap/no-overlap chunk
+coverage, boundary spans, bucketed scale path row-identical to the
+window reference, determinism, and a DuckDB mirror.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_SMALL
+from tokforge.pipeline.pack import pack_sequences, pack_sequences_bucketed, q_pack
+from tokforge.sources.requests import load_documents
+
+L = 256
+
+
+def _rows(df):
+    return sorted(
+        (
+            r["doc_id"],
+            r["lang"],
+            r["w"],
+            r["cum_before"],
+            r["chunk_first"],
+            r["chunk_last"],
+            r["offset"],
+        )
+        for r in df.collect()
+    )
+
+
+def test_packing_covers_stratum_without_gaps(spark):
+    """Per stratum, docs in order tile the token line exactly: each doc
+    starts where the previous ended, chunk ids follow floor arithmetic,
+    and chunks 0..last are all used."""
+    out = q_pack(spark, SF_SMALL, L).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert len(by_lang) == 5
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: r["cum_before"])
+        expect_start = 0
+        for r in rows:
+            assert r["cum_before"] == expect_start, (lang, r)
+            assert r["chunk_first"] == r["cum_before"] // L
+            assert r["chunk_last"] == (r["cum_before"] + r["w"] - 1) // L
+            assert r["offset"] == r["cum_before"] % L
+            assert r["chunk_last"] >= r["chunk_first"]
+            expect_start += r["w"]
+        used = set()
+        for r in rows:
+            used.update(range(r["chunk_first"], r["chunk_last"] + 1))
+        assert used == set(range(max(used) + 1)), f"{lang}: chunk gaps"
+
+
+def test_boundary_spans_exist_and_are_consistent(spark):
+    """The fixture must exercise boundary-crossing docs, and a doc spans
+    iff offset + w > L."""
+    rows = q_pack(spark, SF_SMALL, L).collect()
+    spans = [r for r in rows if r["chunk_last"] > r["chunk_first"]]
+    assert spans, "fixture must produce boundary-crossing docs"
+    for r in rows:
+        assert (r["chunk_last"] > r["chunk_first"]) == (r["offset"] + r["w"] > L)
+
+
+def test_bucketed_equals_reference(spark):
+    docs = load_documents(spark, SF_SMALL)
+    ref = _rows(pack_sequences(docs, L).select(
+        "doc_id", "lang", "w", "cum_before", "chunk_first", "chunk_last", "offset"
+    ))
+    for prefix_len in (1, 2):
+        got = _rows(
+            pack_sequences_bucketed(docs, L, prefix_len=prefix_len).select(
+                "doc_id", "lang", "w", "cum_before", "chunk_first", "chunk_last", "offset"
+            )
+        )
+        assert got == ref, f"prefix_len={prefix_len} diverges"
+
+
+def test_deterministic_under_repartitioning(spark):
+    docs = load_documents(spark, SF_SMALL)
+    cols = ["doc_id", "lang", "w", "cum_before", "chunk_first", "chunk_last", "offset"]
+    a = _rows(pack_sequences(docs, L).select(*cols))
+    b = _rows(pack_sequences(docs.repartition(7, "doc_id"), L).select(*cols))
+    assert a == b
+
+
+def test_matches_duckdb_oracle(spark):
+    got = _rows(q_pack(spark, SF_SMALL, L, bucketed=True))
+    con = duckdb.connect()
+    want = sorted(
+        (int(d), lang, int(w), int(cb), int(cf), int(cl), int(o))
+        for d, lang, w, cb, cf, cl, o in con.execute(
+            f"""
+        WITH d AS (
+          SELECT doc_id, lang,
+                 len(string_split(text, ' ')) AS w,
+                 md5(CAST(doc_id AS VARCHAR)) AS k
+          FROM '{SF_SMALL}/documents.parquet'
+        ), c AS (
+          SELECT doc_id, lang, w,
+                 COALESCE(sum(w) OVER (PARTITION BY lang ORDER BY k, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS cum_before
+          FROM d
+        )
+        SELECT doc_id, lang, w, cum_before,
+               cum_before // {L} AS chunk_first,
+               (cum_before + w - 1) // {L} AS chunk_last,
+               cum_before % {L} AS "offset"
+        FROM c
+        """
+        ).fetchall()
+    )
+    assert got == want
