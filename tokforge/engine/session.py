@@ -69,6 +69,13 @@ def build_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         .config("spark.driver.memory", os.environ.get("TOKFORGE_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Plan STRINGS are unbounded by default (Int.MaxValue) and every
+        # action renders one for the SQL listener event; deep pipeline
+        # lineages (stacked assembly ops, nested InMemoryRelation dumps
+        # that double per join) can OOM the driver inside explainString's
+        # StringConcat before any data moves.  10 MB keeps full plans for
+        # anything sane and truncates the pathological ones.
+        .config("spark.sql.maxPlanStringLength", str(10 * 1024 * 1024))
     )
     spark = builder.getOrCreate()
     tier = state_store or os.environ.get("TOKFORGE_STATE_STORE")
@@ -83,4 +90,5 @@ def tune_existing(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set("spark.sql.maxPlanStringLength", str(10 * 1024 * 1024))
     return spark
