@@ -42,6 +42,24 @@ def test_components_known_graph(spark):
     assert {comp[f"n{i}"] for i in range(6)} == {"n0"}, "path must converge"
 
 
+def test_components_stats_stay_bounded(spark):
+    """Regression pin for the Catalyst stats-squaring trap (BENCH.md):
+    localCheckpoint PRESERVES sizeInBytes into its LogicalRDD and every
+    self-join round SQUARES it, so the estimate's digit count doubled
+    per round (12 -> 2786 digits in 8 rounds) until the driver burned
+    minutes in BigInteger products inside the stats visitor.  The
+    parquet round boundary resets stats to real file sizes; assert the
+    returned plan's estimate stays in honest-number territory on a
+    graph deep enough to run many rounds."""
+    chain = _pairs(spark, [(f"c{i:03d}", f"c{i + 1:03d}") for i in range(60)])
+    labels = connected_components(chain)
+    digits = len(
+        str(labels._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    assert digits < 30, f"stats estimate has {digits} digits — squaring is back"
+    assert {v for _, v in labels.collect()} == {"c000"}
+
+
 def test_keep_canonical_decision(spark):
     docs = spark.createDataFrame(
         [("a",), ("b",), ("c",), ("d",), ("e",), ("f",)], "doc_id string"

@@ -14,6 +14,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tokforge.pipeline.stage import stage_boundary
 from tokforge.sources.requests import (
     load_documents,
     requests_df,
@@ -434,6 +435,7 @@ def connected_components(
     a: str = "doc_a",
     b: str = "doc_b",
     max_iterations: int = 25,
+    doubling_jumps: int = 2,
 ) -> DataFrame:
     """Connected components over an undirected pair list -> one row per
     node: (doc_id, component), where component is the MINIMUM node id
@@ -445,36 +447,93 @@ def connected_components(
     (keep_canonical below) — the keep/drop decision a training-data
     pipeline actually executes.
 
-    Algorithm: iterative min-label propagation — each round every node
-    adopts the smallest label among itself and its neighbours (one hash
-    join edge->label + one map-side-combinable min-agg per round, both
-    shuffling on the same doc-id key), until a round changes no label
-    (driver reads ONE aggregated count per round).  Rounds needed = graph
-    diameter; near-dup clusters are shallow (a dup set's members all
-    touch its minimum within a hop or two), so real dedup workloads
-    converge in 2-3 rounds.  For adversarially deep graphs (long chains)
-    the O(log n)-round alternating large-star/small-star construction
-    (Kiveris et al., 'Connected Components in MapReduce and Beyond') is
-    the drop-in upgrade; plain propagation wins here on per-round cost
-    and simplicity.  The edge list AND each round's labels are persisted
-    (previous round unpersisted), so neither the upstream pairs plan
-    (e.g. the whole LSH candidate join) nor earlier rounds recompute —
-    lineage stays one round deep.  The RETURNED labels DataFrame is left
-    persisted (callers read it immediately); unpersist it when done with
-    long-lived sessions."""
-    edges = (
-        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-        .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
-        .persist()
+    Algorithm: min-label propagation with PATH COMPRESSION — each round
+    every node adopts the smallest label among itself and its
+    neighbours (one hash join edge->label + one map-side-combinable
+    min-agg, shuffling on the doc-id key), then pointer-JUMPS
+    (component <- label(component), ``doubling_jumps`` lazily-composed
+    self-joins: each application doubles the shortcut length, so labels
+    point near the forest roots instead of one parent up).  Compression
+    cuts rounds sharply: the round-5 bench graph took 25 neighbor
+    rounds without it and 10 with it, and a worst-case 5k-node chain
+    converges in ~12 rounds instead of 5000 (BENCH.md "connected
+    components" has the measured walls).  Correctness: labels are
+    always ids of reachable nodes and only decrease (label(x) is
+    reachable from x, so label(label(x)) is too); a round that changes
+    no label means every node's label <= all neighbours' labels, which
+    over symmetric edges forces labels equal across each component —
+    and since labels only decrease from the identity, that common value
+    is the component minimum.
+
+    Each round MATERIALIZES through a parquet stage boundary, which
+    does two jobs at once:
+
+    * cuts lineage — persist()/localCheckpoint leave the logical tree
+      embedding the previous round twice (join + agg side), growing it
+      ~2^rounds (the measured 90 s-planning / driver-OOM pathology in
+      pipeline/stage.py; GraphX solves the same thing with
+      checkpointInterval);
+    * RESETS CATALYST STATS — this one is sneaky and was found by
+      jstack on a 27-second "tiny" round: ``localCheckpoint`` PRESERVES
+      the plan's sizeInBytes into its LogicalRDD, and every self-join
+      SQUARES it, so the BigInt's digit count doubles per round (12 ->
+      2786 digits in 8 rounds, measured) until the driver burns minutes
+      in Toom-Cook BigInteger multiplication inside
+      SizeInBytesOnlyStatsPlanVisitor.  A parquet scan's stats come
+      from real file sizes, so every round restarts from honest small
+      numbers.  This is also the production shape at 100 TB: each
+      round lands durably (shared storage via TOKFORGE_SCRATCH_DIR),
+      making the iteration resumable and executor-loss-tolerant.
+
+    The per-round convergence count rides on the write action itself
+    via ``Observation`` (no extra diff join, no extra job).  The
+    returned labels DataFrame is a plain parquet scan; its scratch dir
+    is atexit-cleaned, and ``unpersist()`` on it is a harmless no-op
+    kept for API compatibility."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Observation
+
+    scratch = tempfile.mkdtemp(
+        prefix="tokforge-cc-", dir=os.environ.get("TOKFORGE_SCRATCH_DIR") or None
     )
-    labels = (
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+
+    edges = stage_boundary(
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst")).union(
+            pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+        ),
+        f"{scratch}/edges",
+    )
+    labels = stage_boundary(
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
-        .withColumn("component", F.col("doc_id"))
-        .persist()
+        .withColumn("component", F.col("doc_id")),
+        f"{scratch}/labels_0",
     )
-    labels.count()
-    for _ in range(max_iterations):
+
+    def jump(t: DataFrame) -> DataFrame:
+        # component <- label(component): labels are node ids, so the
+        # lookup is a self-join; the adopted value is <= the current one.
+        return t.join(
+            t.select(
+                F.col("doc_id").alias("component"),
+                F.col("component").alias("jumped"),
+            ),
+            "component",
+            "left",
+        ).select(
+            "doc_id",
+            F.least(F.col("component"), F.coalesce("jumped", "component")).alias(
+                "component"
+            ),
+            "__start",
+        )
+
+    for r in range(max_iterations):
         neigh_min = (
             edges.join(
                 labels.select(
@@ -485,31 +544,35 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("dst_comp").alias("neigh_comp"))
         )
-        new_labels = (
+        # neighbor step materialized first so the (big) edge join runs
+        # once; the lazy jump composition then self-joins only the
+        # node-sized label scan (2^doubling_jumps cheap scan refs).
+        stepped = stage_boundary(
             labels.join(
                 neigh_min.select(F.col("src").alias("doc_id"), "neigh_comp"),
                 "doc_id",
                 "left",
-            )
-            .select(
+            ).select(
                 "doc_id",
                 F.least(
                     F.col("component"), F.coalesce("neigh_comp", "component")
                 ).alias("component"),
-            )
-            .persist()
+                F.col("component").alias("__start"),
+            ),
+            f"{scratch}/step_{r}",
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
+        for _ in range(doubling_jumps):
+            stepped = jump(stepped)
+        obs = Observation()
+        labels = stage_boundary(
+            stepped.observe(
+                obs,
+                F.count_if(F.col("component") != F.col("__start")).alias("changed"),
+            ).drop("__start"),
+            f"{scratch}/labels_{r + 1}",
         )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        if obs.get["changed"] == 0:
             break
-    edges.unpersist()
     return labels
 
 
@@ -522,11 +585,11 @@ def keep_canonical(
     `docs.filter('keep')` is the deduplicated corpus.  Cost: the
     clustering above + one left join on the doc id.
 
-    The clustering's persisted label table rides on the result as
-    ``result.cc_labels`` — long-lived sessions should
-    ``result.cc_labels.unpersist()`` once the result is consumed (the
-    labels are left cached so consuming the join does not recompute the
-    iterative rounds)."""
+    The clustering's label table (a parquet scan over an atexit-cleaned
+    scratch dir, see connected_components) rides on the result as
+    ``result.cc_labels``; ``result.cc_labels.unpersist()`` stays a
+    harmless no-op for callers written against the earlier
+    persisted-table contract."""
     comp = connected_components(pairs).withColumnRenamed("doc_id", "__cc_id")
     out = docs.join(comp, docs[id_col] == F.col("__cc_id"), "left").drop("__cc_id")
     component = F.coalesce(F.col("component"), F.col(id_col))
@@ -537,10 +600,12 @@ def keep_canonical(
     return out
 
 
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_clusters(spark: SparkSession, sf_dir: str, replicas: int = 1) -> DataFrame:
     """LSH pairs -> components (pytest-covered; the driver registry stays
     at the 50-query window)."""
-    return connected_components(q_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b"))
+    return connected_components(
+        q_lsh_pairs(spark, sf_dir, replicas).select("doc_a", "doc_b")
+    )
 
 
 DEDUP_QUERIES = {
