@@ -60,6 +60,53 @@ def test_components_stats_stay_bounded(spark):
     assert {v for _, v in labels.collect()} == {"c000"}
 
 
+def test_components_match_union_find_oracle(spark):
+    """Seeded random graphs vs a pure-python union-find oracle: the
+    Spark clustering must assign every node the exact per-component
+    minimum the oracle computes.  Three graph shapes in ONE composite
+    graph (disjoint id prefixes): sparse random, dense random, and a
+    star forest — different depth/width mixes for the propagation +
+    pointer-jump rounds."""
+    import random
+
+    rng = random.Random(20260817)
+    edges = []
+    # sparse: 40 nodes, 25 edges
+    edges += [
+        (f"s{rng.randrange(40):02d}", f"s{rng.randrange(40):02d}")
+        for _ in range(25)
+    ]
+    # dense: 12 nodes, 30 edges
+    edges += [
+        (f"d{rng.randrange(12):02d}", f"d{rng.randrange(12):02d}")
+        for _ in range(30)
+    ]
+    # star forest: 4 hubs x 6 leaves
+    edges += [(f"h{h}", f"h{h}l{i}") for h in range(4) for i in range(6)]
+    edges = [(x, y) for x, y in edges if x != y]
+
+    parent: dict[str, str] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in edges:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[rx] = ry
+    roots: dict[str, list] = {}
+    for n in parent:
+        roots.setdefault(find(n), []).append(n)
+    expected = {n: min(members) for members in roots.values() for n in members}
+
+    got = dict(connected_components(_pairs(spark, edges)).collect())
+    assert got == expected
+
+
 def test_keep_canonical_decision(spark):
     docs = spark.createDataFrame(
         [("a",), ("b",), ("c",), ("d",), ("e",), ("f",)], "doc_id string"
