@@ -447,23 +447,26 @@ def connected_components(
     (keep_canonical below) — the keep/drop decision a training-data
     pipeline actually executes.
 
-    Algorithm: min-label propagation with PATH COMPRESSION — each round
-    every node adopts the smallest label among itself and its
-    neighbours (one hash join edge->label + one map-side-combinable
-    min-agg, shuffling on the doc-id key), then pointer-JUMPS
-    (component <- label(component), ``doubling_jumps`` lazily-composed
-    self-joins: each application doubles the shortcut length, so labels
-    point near the forest roots instead of one parent up).  Compression
-    cuts rounds sharply: the round-5 bench graph took 25 neighbor
-    rounds without it and 10 with it, and a worst-case 5k-node chain
-    converges in ~12 rounds instead of 5000 (BENCH.md "connected
-    components" has the measured walls).  Correctness: labels are
-    always ids of reachable nodes and only decrease (label(x) is
-    reachable from x, so label(label(x)) is too); a round that changes
-    no label means every node's label <= all neighbours' labels, which
-    over symmetric edges forces labels equal across each component —
-    and since labels only decrease from the identity, that common value
-    is the component minimum.
+    Algorithm: min-label propagation with EDGE CONTRACTION and pointer
+    jumps.  Each round works on the CONTRACTED graph whose nodes are
+    the current component representatives: (1) every rep adopts the
+    smallest rep among itself and its neighbours (one min-agg over the
+    contracted edge list), (2) the rep->rep mapping is pointer-JUMPED
+    ``doubling_jumps`` times (lazily-composed self-joins of the
+    component-count-sized mapping — each application doubles the
+    shortcut length), (3) the per-node labels fold the mapping in (one
+    node-sized join), and (4) the edge list is REWRITTEN over the new
+    reps, dropping intra-component edges and duplicates.  Contraction
+    is the scale step: the full-size edge relation is joined once, in
+    round 1, and every later round runs on the rapidly-shrinking
+    component graph (x8 bench graph, 1.85M edges / 37k nodes: CC wall
+    58.6 s -> 20.8 s, and the pre-contraction run was 2 docs short of
+    convergence at the round cap — BENCH.md).  Termination is exact:
+    the loop ends when the contracted graph has no edges, i.e. every
+    original edge's endpoints share a rep.  Correctness: reps
+    only decrease, are always member ids of the same original
+    component, and the minimum member keeps itself as rep — so when
+    all members of a component share one rep, that rep is the minimum.
 
     Each round MATERIALIZES through a parquet stage boundary, which
     does two jobs at once:
@@ -485,8 +488,9 @@ def connected_components(
       round lands durably (shared storage via TOKFORGE_SCRATCH_DIR),
       making the iteration resumable and executor-loss-tolerant.
 
-    The per-round convergence count rides on the write action itself
-    via ``Observation`` (no extra diff join, no extra job).  The
+    The per-round liveness count (rows left in the contracted graph)
+    rides on the graph write itself via ``Observation`` (no extra
+    count job, no diff join).  The
     returned labels DataFrame is a plain parquet scan; its scratch dir
     is atexit-cleaned, and ``unpersist()`` on it is a harmless no-op
     kept for API compatibility."""
@@ -502,76 +506,97 @@ def connected_components(
     )
     atexit.register(shutil.rmtree, scratch, ignore_errors=True)
 
-    edges = stage_boundary(
+    graph = stage_boundary(
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst")).union(
             pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
         ),
-        f"{scratch}/edges",
+        f"{scratch}/g_0",
     )
     labels = stage_boundary(
-        edges.select(F.col("src").alias("doc_id"))
+        graph.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("component", F.col("doc_id")),
         f"{scratch}/labels_0",
     )
 
     def jump(t: DataFrame) -> DataFrame:
-        # component <- label(component): labels are node ids, so the
+        # m <- mapping[m]: mapping values are component ids, so the
         # lookup is a self-join; the adopted value is <= the current one.
         return t.join(
-            t.select(
-                F.col("doc_id").alias("component"),
-                F.col("component").alias("jumped"),
-            ),
-            "component",
+            t.select(F.col("c").alias("m"), F.col("m").alias("m2")),
+            "m",
             "left",
         ).select(
-            "doc_id",
-            F.least(F.col("component"), F.coalesce("jumped", "component")).alias(
-                "component"
-            ),
-            "__start",
+            "c", F.least(F.col("m"), F.coalesce("m2", "m")).alias("m"), "__m0"
         )
 
     for r in range(max_iterations):
-        neigh_min = (
-            edges.join(
-                labels.select(
-                    F.col("doc_id").alias("dst"), F.col("component").alias("dst_comp")
-                ),
-                "dst",
+        # mapping over the CONTRACTED graph's nodes (current component
+        # reps): every rep adopts the smallest rep among itself and its
+        # neighbours; symmetric edges guarantee every live rep appears
+        # as src.  The mapping table is component-count-sized and
+        # shrinks every round.
+        mapping = stage_boundary(
+            graph.groupBy("src")
+            .agg(F.min("dst").alias("m"))
+            .select(F.col("src").alias("c"), F.least("src", "m").alias("m")),
+            f"{scratch}/map_{r}",
+        )
+        # jump the mapping forest to IDEMPOTENCE (m points at its
+        # root), doubling_jumps lazy self-joins per materialized pass:
+        # each composed pass multiplies the shortcut length by
+        # 2^doubling_jumps, so a depth-d forest flattens in
+        # O(log d) passes.  Without this, reach per OUTER round is a
+        # constant and an adversarial chain needs O(n) rounds (the
+        # contraction resets the mapping, so nothing compounds across
+        # rounds — measured before this loop existed: a 5k chain
+        # stalled at the iteration cap).  Shallow dedup graphs exit
+        # after one pass.
+        for p in range(max_iterations):
+            # __m0 snapshots m just before the LAST composed jump: if
+            # that jump moved nothing, m∘m == m (idempotent) and the
+            # pass count is exact — shallow rounds pay ONE pass, deep
+            # forests keep doubling until flat.
+            stepped = mapping.withColumn("__m0", F.col("m"))
+            for i in range(doubling_jumps):
+                if i == doubling_jumps - 1:
+                    stepped = stepped.withColumn("__m0", F.col("m"))
+                stepped = jump(stepped)
+            jo = Observation()
+            mapping = stage_boundary(
+                stepped.observe(
+                    jo, F.count_if(F.col("m") < F.col("__m0")).alias("chg")
+                ).drop("__m0"),
+                f"{scratch}/mapj_{r}_{p}",
             )
-            .groupBy("src")
-            .agg(F.min("dst_comp").alias("neigh_comp"))
-        )
-        # neighbor step materialized first so the (big) edge join runs
-        # once; the lazy jump composition then self-joins only the
-        # node-sized label scan (2^doubling_jumps cheap scan refs).
-        stepped = stage_boundary(
-            labels.join(
-                neigh_min.select(F.col("src").alias("doc_id"), "neigh_comp"),
-                "doc_id",
-                "left",
-            ).select(
-                "doc_id",
-                F.least(
-                    F.col("component"), F.coalesce("neigh_comp", "component")
-                ).alias("component"),
-                F.col("component").alias("__start"),
-            ),
-            f"{scratch}/step_{r}",
-        )
-        for _ in range(doubling_jumps):
-            stepped = jump(stepped)
-        obs = Observation()
+            if jo.get["chg"] == 0:
+                break
+        # fold the round's merges into the per-node labels (reps not in
+        # the mapping — already-isolated components — keep their label)
         labels = stage_boundary(
-            stepped.observe(
-                obs,
-                F.count_if(F.col("component") != F.col("__start")).alias("changed"),
-            ).drop("__start"),
+            labels.join(
+                mapping.select(F.col("c").alias("component"), "m"), "component", "left"
+            ).select("doc_id", F.coalesce("m", "component").alias("component")),
             f"{scratch}/labels_{r + 1}",
         )
-        if obs.get["changed"] == 0:
+        # contract: rewrite edges over the new reps, drop intra-component
+        # edges and duplicates.  THIS is what makes the iteration scale:
+        # the big edge relation shrinks toward the component graph, so
+        # the heavy join runs once at full size instead of every round.
+        obs = Observation()
+        graph = stage_boundary(
+            graph.join(mapping.select(F.col("c").alias("src"), F.col("m").alias("sm")), "src", "left")
+            .join(mapping.select(F.col("c").alias("dst"), F.col("m").alias("dm")), "dst", "left")
+            .select(
+                F.coalesce("sm", "src").alias("src"),
+                F.coalesce("dm", "dst").alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .observe(obs, F.count(F.lit(1)).alias("live")),
+            f"{scratch}/g_{r + 1}",
+        )
+        if obs.get["live"] == 0:
             break
     return labels
 
