@@ -40,14 +40,13 @@ def test_full_assembly_chain(spark, tmp_path):
 
     # 1. near-dup decision: LSH pairs -> clusters -> canonical keeps
     pairs = q_lsh_pairs(spark, SF_SMALL).select("doc_a", "doc_b")
-    decided = keep_canonical(
+    decided, _labels = keep_canonical(
         docs.withColumn("doc_id", F.col("doc_id").cast("string")), pairs
     )
     kept = stage_boundary(
         decided.filter("keep").withColumn("doc_id", F.col("doc_id").cast("long"))
     )
     n_kept = kept.count()
-    decided.cc_labels.unpersist()
     assert 0 < n_kept <= n_all
 
     # 2. decontamination against the synthetic eval slice — this stage

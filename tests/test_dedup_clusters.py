@@ -111,9 +111,9 @@ def test_keep_canonical_decision(spark):
     docs = spark.createDataFrame(
         [("a",), ("b",), ("c",), ("d",), ("e",), ("f",)], "doc_id string"
     )
-    out = keep_canonical(docs, _pairs(spark, [("a", "b"), ("d", "e")]))
+    out, labels = keep_canonical(docs, _pairs(spark, [("a", "b"), ("d", "e")]))
     rows = {r["doc_id"]: (r["component"], r["keep"]) for r in out.collect()}
-    out.cc_labels.unpersist()
+    assert set(labels.columns) == {"doc_id", "component"}
     assert rows == {
         "a": ("a", True),
         "b": ("a", False),

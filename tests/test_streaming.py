@@ -1023,3 +1023,27 @@ def test_cache_state_on_rocksdb_provider(spark, tmp_path):
     assert len(per_key) == 20
     for r in per_key:
         assert r["miss"] == 1 and r["hit"] == 2, r
+
+
+def test_gated_stream_query_fixture_memoized(spark, tmp_path, monkeypatch):
+    """The gated streaming queries build ONE fixture tree (inputs +
+    checkpoint + committed sink) per (application, sf_dir, query) and a
+    rerun in the same session re-reads the committed sink — no second
+    /tmp tree, identical results (round-5 review: the mkdtemp call sites
+    used to leak one dataset + checkpoint per invocation)."""
+    import tokforge.streaming.queries as sq
+
+    monkeypatch.setenv("TOKFORGE_SCRATCH_DIR", str(tmp_path))
+    # drop any fixture cached by an earlier test so THIS run builds fresh
+    for key in [k for k in sq._STREAM_FIXTURES if k[2] == "stream-tumbling"]:
+        del sq._STREAM_FIXTURES[key]
+
+    first = sq.q_stream_tumbling(spark, SF_SMALL).collect()
+    dirs_after_first = sorted(tmp_path.glob("tokforge-q-stream-tumbling-*"))
+    assert len(dirs_after_first) == 1
+
+    second = sq.q_stream_tumbling(spark, SF_SMALL).collect()
+    dirs_after_second = sorted(tmp_path.glob("tokforge-q-stream-tumbling-*"))
+    assert dirs_after_second == dirs_after_first  # reused, not rebuilt
+    key_rows = lambda rows: sorted(tuple(r) for r in rows)
+    assert key_rows(second) == key_rows(first)

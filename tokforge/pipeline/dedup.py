@@ -490,10 +490,14 @@ def connected_components(
 
     The per-round liveness count (rows left in the contracted graph)
     rides on the graph write itself via ``Observation`` (no extra
-    count job, no diff join).  The
-    returned labels DataFrame is a plain parquet scan; its scratch dir
-    is atexit-cleaned, and ``unpersist()`` on it is a harmless no-op
-    kept for API compatibility."""
+    count job, no diff join).  The returned labels DataFrame is a plain
+    parquet scan over the FINAL labels round; every other per-round
+    intermediate (graph / mapping / jump / earlier labels) is deleted
+    before returning, so a long-lived session running many clusterings
+    holds one labels dataset per call, not the whole iteration history.
+    The final dataset lives until interpreter exit (atexit-cleaned;
+    TOKFORGE_SCRATCH_DIR overrides the root) — external cleanup of the
+    scratch dir invalidates a result still in use."""
     import atexit
     import os
     import shutil
@@ -512,11 +516,12 @@ def connected_components(
         ),
         f"{scratch}/g_0",
     )
+    labels_dir = "labels_0"
     labels = stage_boundary(
         graph.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("component", F.col("doc_id")),
-        f"{scratch}/labels_0",
+        f"{scratch}/{labels_dir}",
     )
 
     def jump(t: DataFrame) -> DataFrame:
@@ -573,11 +578,12 @@ def connected_components(
                 break
         # fold the round's merges into the per-node labels (reps not in
         # the mapping — already-isolated components — keep their label)
+        labels_dir = f"labels_{r + 1}"
         labels = stage_boundary(
             labels.join(
                 mapping.select(F.col("c").alias("component"), "m"), "component", "left"
             ).select("doc_id", F.coalesce("m", "component").alias("component")),
-            f"{scratch}/labels_{r + 1}",
+            f"{scratch}/{labels_dir}",
         )
         # contract: rewrite edges over the new reps, drop intra-component
         # edges and duplicates.  THIS is what makes the iteration scale:
@@ -598,31 +604,37 @@ def connected_components(
         )
         if obs.get["live"] == 0:
             break
+    # the final labels dataset is the only intermediate still referenced;
+    # everything else is dead the moment the next round materialized
+    for name in os.listdir(scratch):
+        if name != labels_dir:
+            shutil.rmtree(os.path.join(scratch, name), ignore_errors=True)
     return labels
 
 
 def keep_canonical(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """The dedup DECISION over a corpus: every near-dup cluster keeps its
     canonical (minimum-id) member; documents in no cluster keep
-    themselves.  Returns ``docs`` plus `component` and a `keep` boolean —
-    `docs.filter('keep')` is the deduplicated corpus.  Cost: the
-    clustering above + one left join on the doc id.
+    themselves.  Returns ``(decided, labels)``: ``decided`` is ``docs``
+    plus `component` and a `keep` boolean — ``decided.filter('keep')`` is
+    the deduplicated corpus — and ``labels`` is the clustering's
+    (doc_id, component) table (a plain parquet scan over the
+    connected_components scratch, valid until interpreter exit).  Cost:
+    the clustering above + one left join on the doc id.
 
-    The clustering's label table (a parquet scan over an atexit-cleaned
-    scratch dir, see connected_components) rides on the result as
-    ``result.cc_labels``; ``result.cc_labels.unpersist()`` stays a
-    harmless no-op for callers written against the earlier
-    persisted-table contract."""
-    comp = connected_components(pairs).withColumnRenamed("doc_id", "__cc_id")
-    out = docs.join(comp, docs[id_col] == F.col("__cc_id"), "left").drop("__cc_id")
+    (Round-5 API returned only ``decided`` with ``labels`` smuggled out
+    as a dynamic ``cc_labels`` attribute; any select/filter on the result
+    silently dropped it — round-6 ADVICE — so the pair is now explicit.)"""
+    comp = connected_components(pairs)
+    labeled = comp.withColumnRenamed("doc_id", "__cc_id")
+    out = docs.join(labeled, docs[id_col] == F.col("__cc_id"), "left").drop("__cc_id")
     component = F.coalesce(F.col("component"), F.col(id_col))
     out = out.withColumn("component", component).withColumn(
         "keep", F.col(id_col) == F.col("component")
     )
-    out.cc_labels = comp
-    return out
+    return out, comp
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str, replicas: int = 1) -> DataFrame:

@@ -41,6 +41,12 @@ from tokforge.sources.requests import load_documents
 
 
 def _weight_expr(weights: dict[str, float], stratum_col: str):
+    # w <= 0 would make pos NULL (Spark non-ANSI division) while the SQL
+    # mirror divides by zero differently — reject the typo loudly instead
+    # of silently degrading the mix order (round-6 ADVICE).
+    bad = {s: w for s, w in weights.items() if not float(w) > 0.0}
+    if bad:
+        raise ValueError(f"interleave weights must be > 0, got {bad}")
     expr = F.lit(None).cast("double")
     for s, w in weights.items():
         expr = F.when(F.col(stratum_col) == s, F.lit(float(w))).otherwise(expr)

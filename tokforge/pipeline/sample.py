@@ -12,9 +12,10 @@ tests/test_budget_sample.py):
   is independent of partitioning, input file order, and cluster size.
 * A document is admitted while the running token total BEFORE it is still
   under the stratum's budget; the document that crosses the budget is
-  the last one in.  Consequences: the sample is never empty for a
-  non-empty stratum, total >= min(budget, stratum total), and overshoot
-  is bounded by one document.
+  the last one in.  Consequences (for budget >= 1; budget <= 0 yields an
+  empty sample, pinned by test_assembly_edges): the sample is never empty
+  for a non-empty stratum, total >= min(budget, stratum total), and
+  overshoot is bounded by one document.
 
 Two implementations, asserted row-identical:
 

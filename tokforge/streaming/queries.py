@@ -6,6 +6,9 @@ batch DataFrame so the DuckDB oracle can check it exactly.
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
 import tempfile
 
 import pyspark.sql.functions as F
@@ -25,6 +28,29 @@ def _drain(query, timeout=300):
         query.awaitTermination(60)
 
 
+# One fixture tree (inputs + checkpoint + committed sink) per
+# (application, sf_dir, query) — the same memoize + atexit-rmtree +
+# TOKFORGE_SCRATCH_DIR pattern as engine/queries.q_path_parse.  A rerun
+# in the same session re-reads the committed sink instead of writing and
+# streaming a fresh tree into /tmp (round-5 review: the five mkdtemp
+# call sites leaked one dataset + checkpoint per invocation).
+_STREAM_FIXTURES: dict[tuple, str] = {}
+
+
+def _fixture_out(spark, sf_dir: str, name: str, build) -> str:
+    """``build(tmp)`` writes inputs under ``tmp`` and drains the stream
+    into ``tmp``'s sink, returning the sink path; memoized per session."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key not in _STREAM_FIXTURES:
+        tmp = tempfile.mkdtemp(
+            prefix=f"tokforge-q-{name}-",
+            dir=os.environ.get("TOKFORGE_SCRATCH_DIR") or None,
+        )
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        _STREAM_FIXTURES[key] = build(tmp)
+    return _STREAM_FIXTURES[key]
+
+
 def q_stream_cache_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3 event-time replicas of every request flow through the stateful
     cache: exactly 1 MISS + 2 HITs per document, and the HITs serve the
@@ -33,23 +59,25 @@ def q_stream_cache_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for real; the oracle checks the committed sink."""
     from tokforge.streaming.job import read_sink, transform_stream
 
-    tmp = tempfile.mkdtemp(prefix="tokforge-q-stream-")
-    req = requests_df(spark, sf_dir, _CHAIN)
-    for i in range(3):
-        req.withColumn(
-            "ts", (F.unix_timestamp("ts") + i * 600).cast("timestamp")
-        ).write.mode("append").parquet(f"{tmp}/in/drop={i}")
-    query, _ = transform_stream(
-        spark,
-        f"{tmp}/in",
-        f"{tmp}/out",
-        f"{tmp}/ckpt",
-        _CFG,
-        verify=False,
-        available_now=True,
-    )
-    _drain(query)
-    out = read_sink(spark, f"{tmp}/out")
+    def build(tmp: str) -> str:
+        req = requests_df(spark, sf_dir, _CHAIN)
+        for i in range(3):
+            req.withColumn(
+                "ts", (F.unix_timestamp("ts") + i * 600).cast("timestamp")
+            ).write.mode("append").parquet(f"{tmp}/in/drop={i}")
+        query, _ = transform_stream(
+            spark,
+            f"{tmp}/in",
+            f"{tmp}/out",
+            f"{tmp}/ckpt",
+            _CFG,
+            verify=False,
+            available_now=True,
+        )
+        _drain(query)
+        return f"{tmp}/out"
+
+    out = read_sink(spark, _fixture_out(spark, sf_dir, "stream-cache", build))
     return out.groupBy("doc_id").agg(
         F.sum(F.when(F.col("cache_status") == "MISS", 1).otherwise(0)).alias("n_miss"),
         F.sum(F.when(F.col("cache_status") == "HIT", 1).otherwise(0)).alias("n_hit"),
@@ -73,18 +101,21 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the stream drains."""
     from tokforge.streaming.job import read_sink, tumbling_rate_query
 
-    tmp = tempfile.mkdtemp(prefix="tokforge-q-stream-")
-    req = requests_df(spark, sf_dir, _CHAIN)
-    req.write.mode("append").parquet(f"{tmp}/in/drop=0")
-    q1, _ = tumbling_rate_query(spark, f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt")
-    _drain(q1)
-    sentinel = req.limit(1).withColumn(
-        "ts", (F.unix_timestamp("ts") + 864000).cast("timestamp")
-    ).withColumn("source", F.lit("__sentinel__"))
-    sentinel.write.mode("append").parquet(f"{tmp}/in/drop=1")
-    q2, _ = tumbling_rate_query(spark, f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt")
-    _drain(q2)
-    out = read_sink(spark, f"{tmp}/out").filter(F.col("source") != "__sentinel__")
+    def build(tmp: str) -> str:
+        req = requests_df(spark, sf_dir, _CHAIN)
+        req.write.mode("append").parquet(f"{tmp}/in/drop=0")
+        q1, _ = tumbling_rate_query(spark, f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt")
+        _drain(q1)
+        sentinel = req.limit(1).withColumn(
+            "ts", (F.unix_timestamp("ts") + 864000).cast("timestamp")
+        ).withColumn("source", F.lit("__sentinel__"))
+        sentinel.write.mode("append").parquet(f"{tmp}/in/drop=1")
+        q2, _ = tumbling_rate_query(spark, f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt")
+        _drain(q2)
+        return f"{tmp}/out"
+
+    out = read_sink(spark, _fixture_out(spark, sf_dir, "stream-tumbling", build))
+    out = out.filter(F.col("source") != "__sentinel__")
     return out.select(
         F.unix_timestamp("window_start").alias("window_start_s"),
         "source",
@@ -112,17 +143,19 @@ def q_stream_info_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     serves the stored info (single n_out/size variant)."""
     from tokforge.streaming.job import info_stream, read_sink
 
-    tmp = tempfile.mkdtemp(prefix="tokforge-q-stream-info-")
-    req = requests_df(spark, sf_dir, _INFO_CHAIN)
-    for i in range(2):
-        req.withColumn(
-            "ts", (F.unix_timestamp("ts") + i * 600).cast("timestamp")
-        ).write.mode("append").parquet(f"{tmp}/in/drop={i}")
-    query, _ = info_stream(
-        spark, f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt", _CFG, available_now=True
-    )
-    _drain(query)
-    out = read_sink(spark, f"{tmp}/out")
+    def build(tmp: str) -> str:
+        req = requests_df(spark, sf_dir, _INFO_CHAIN)
+        for i in range(2):
+            req.withColumn(
+                "ts", (F.unix_timestamp("ts") + i * 600).cast("timestamp")
+            ).write.mode("append").parquet(f"{tmp}/in/drop={i}")
+        query, _ = info_stream(
+            spark, f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt", _CFG, available_now=True
+        )
+        _drain(query)
+        return f"{tmp}/out"
+
+    out = read_sink(spark, _fixture_out(spark, sf_dir, "stream-info", build))
     return out.groupBy("doc_id").agg(
         F.sum(F.when(F.col("info_status") == "MISS", 1).otherwise(0)).alias("n_miss"),
         F.sum(F.when(F.col("info_status") == "HIT", 1).otherwise(0)).alias("n_hit"),
@@ -161,25 +194,27 @@ def q_stream_ratelimit(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-time order the oracle replays."""
     from tokforge.streaming.job import ratelimit_stream, read_sink
 
-    tmp = tempfile.mkdtemp(prefix="tokforge-q-stream-rl-")
-    req = requests_df(spark, sf_dir, _CHAIN)
-    # GATE FIXTURE ONLY: coalesce(1) pins a global deterministic order so
-    # the DuckDB oracle can replay it.  The production path
-    # (ratelimit.with_rate_limit) orders within each source key and needs
-    # no global order — do NOT copy this coalesce into a real job; at
-    # scale it would serialize the whole scan through one task.
-    req.coalesce(1).write.mode("append").parquet(f"{tmp}/in/drop=0")
-    query, _ = ratelimit_stream(
-        spark,
-        f"{tmp}/in",
-        f"{tmp}/out",
-        f"{tmp}/ckpt",
-        capacity=_RL_CAPACITY,
-        refill_per_sec=_RL_REFILL,
-        available_now=True,
-    )
-    _drain(query)
-    out = read_sink(spark, f"{tmp}/out")
+    def build(tmp: str) -> str:
+        req = requests_df(spark, sf_dir, _CHAIN)
+        # GATE FIXTURE ONLY: coalesce(1) pins a global deterministic order
+        # so the DuckDB oracle can replay it.  The production path
+        # (ratelimit.with_rate_limit) orders within each source key and
+        # needs no global order — do NOT copy this coalesce into a real
+        # job; at scale it would serialize the whole scan through one task.
+        req.coalesce(1).write.mode("append").parquet(f"{tmp}/in/drop=0")
+        query, _ = ratelimit_stream(
+            spark,
+            f"{tmp}/in",
+            f"{tmp}/out",
+            f"{tmp}/ckpt",
+            capacity=_RL_CAPACITY,
+            refill_per_sec=_RL_REFILL,
+            available_now=True,
+        )
+        _drain(query)
+        return f"{tmp}/out"
+
+    out = read_sink(spark, _fixture_out(spark, sf_dir, "stream-rl", build))
     return out.select("source", "doc_id", "admitted", "tokens_after")
 
 
@@ -231,41 +266,46 @@ def q_stream_join_invalidation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tokforge.streaming.job import read_sink
     from tokforge.streaming.join import invalidation_stream
 
-    tmp = tempfile.mkdtemp(prefix="tokforge-q-stream-join-")
-    req = requests_df(spark, sf_dir, _CHAIN)
-    req.coalesce(1).write.mode("append").parquet(f"{tmp}/in/drop=0")
-    keyed = req.withColumn("cache_key", cache_key_col())
-    d = F.col("doc_id").cast("long")
-    purges = keyed.filter(d % 3 < 2).select(
-        "cache_key",
-        F.when(d % 3 == 0, F.unix_timestamp("ts") - 300)
-        .otherwise(F.unix_timestamp("ts") - 1200)
-        .cast("timestamp")
-        .alias("purge_ts"),
-    )
-    dup = keyed.filter(d % 3 == 0).select(
-        "cache_key",
-        (F.unix_timestamp("ts") - 120).cast("timestamp").alias("purge_ts"),
-    )
-    purges.union(dup).coalesce(1).write.mode("append").parquet(f"{tmp}/purge/drop=0")
-    q1, _ = invalidation_stream(
-        spark, f"{tmp}/in", f"{tmp}/purge", f"{tmp}/out", f"{tmp}/ckpt"
-    )
-    _drain(q1)
-    sent = (
-        req.limit(1)
-        .withColumn("ts", (F.unix_timestamp("ts") + 864000).cast("timestamp"))
-        .withColumn("doc_id", F.lit("__sentinel__"))
-    )
-    sent.write.mode("append").parquet(f"{tmp}/in/drop=1")
-    purges.limit(1).withColumn(
-        "purge_ts", (F.unix_timestamp("purge_ts") + 864000).cast("timestamp")
-    ).write.mode("append").parquet(f"{tmp}/purge/drop=1")
-    q2, _ = invalidation_stream(
-        spark, f"{tmp}/in", f"{tmp}/purge", f"{tmp}/out", f"{tmp}/ckpt"
-    )
-    _drain(q2)
-    out = read_sink(spark, f"{tmp}/out").filter(F.col("doc_id") != "__sentinel__")
+    def build(tmp: str) -> str:
+        req = requests_df(spark, sf_dir, _CHAIN)
+        req.coalesce(1).write.mode("append").parquet(f"{tmp}/in/drop=0")
+        keyed = req.withColumn("cache_key", cache_key_col())
+        d = F.col("doc_id").cast("long")
+        purges = keyed.filter(d % 3 < 2).select(
+            "cache_key",
+            F.when(d % 3 == 0, F.unix_timestamp("ts") - 300)
+            .otherwise(F.unix_timestamp("ts") - 1200)
+            .cast("timestamp")
+            .alias("purge_ts"),
+        )
+        dup = keyed.filter(d % 3 == 0).select(
+            "cache_key",
+            (F.unix_timestamp("ts") - 120).cast("timestamp").alias("purge_ts"),
+        )
+        purges.union(dup).coalesce(1).write.mode("append").parquet(
+            f"{tmp}/purge/drop=0"
+        )
+        q1, _ = invalidation_stream(
+            spark, f"{tmp}/in", f"{tmp}/purge", f"{tmp}/out", f"{tmp}/ckpt"
+        )
+        _drain(q1)
+        sent = (
+            req.limit(1)
+            .withColumn("ts", (F.unix_timestamp("ts") + 864000).cast("timestamp"))
+            .withColumn("doc_id", F.lit("__sentinel__"))
+        )
+        sent.write.mode("append").parquet(f"{tmp}/in/drop=1")
+        purges.limit(1).withColumn(
+            "purge_ts", (F.unix_timestamp("purge_ts") + 864000).cast("timestamp")
+        ).write.mode("append").parquet(f"{tmp}/purge/drop=1")
+        q2, _ = invalidation_stream(
+            spark, f"{tmp}/in", f"{tmp}/purge", f"{tmp}/out", f"{tmp}/ckpt"
+        )
+        _drain(q2)
+        return f"{tmp}/out"
+
+    out = read_sink(spark, _fixture_out(spark, sf_dir, "stream-join", build))
+    out = out.filter(F.col("doc_id") != "__sentinel__")
     return out.select(
         "doc_id",
         "cache_bypass",

@@ -87,7 +87,7 @@ def main() -> None:
 
         def s1():
             pairs = q_lsh_pairs(spark, sf_dir, replicas).select("doc_a", "doc_b")
-            decided = keep_canonical(
+            decided, _labels = keep_canonical(
                 docs.withColumn("doc_id", F.col("doc_id").cast("string")), pairs
             )
             kept = stage_boundary(
@@ -96,7 +96,6 @@ def main() -> None:
                 ),
                 f"{scratch}/kept",
             )
-            decided.cc_labels.unpersist()
             return kept, kept.count()
 
         kept = timed("dedup_decision", s1)
