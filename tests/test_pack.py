@@ -115,3 +115,70 @@ def test_matches_duckdb_oracle(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_emit_chunks_materializes_gapfree_sequences(spark):
+    """The materialized chunks tile each stratum exactly: chunk ids are
+    contiguous from 0, every chunk holds seq_len tokens except the final
+    one, and re-concatenating chunks in order reproduces the md5-ordered
+    document token stream (the emitter agrees with the map it emits from)."""
+    from tokforge.pipeline.pack import emit_chunks
+
+    docs = load_documents(spark, SF_SMALL)
+    chunks = emit_chunks(docs, L).collect()
+    mapped = q_pack(spark, SF_SMALL, L).collect()
+
+    by_lang = {}
+    for r in chunks:
+        by_lang.setdefault(r["lang"], []).append(r)
+    tot_by_lang = {}
+    for r in mapped:
+        tot_by_lang[r["lang"]] = tot_by_lang.get(r["lang"], 0) + r["w"]
+    assert set(by_lang) == set(tot_by_lang)
+
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: r["chunk_id"])
+        ids = [r["chunk_id"] for r in rows]
+        assert ids == list(range(len(rows))), f"{lang}: chunk-id gaps"
+        for r in rows[:-1]:
+            assert r["n_fill"] == L and len(r["tokens"]) == L, (lang, r["chunk_id"])
+        last = rows[-1]
+        assert 1 <= last["n_fill"] == len(last["tokens"]) <= L
+        assert sum(r["n_fill"] for r in rows) == tot_by_lang[lang]
+
+    # token-level agreement with the map: each doc's slice of the
+    # reassembled stream equals its own split text
+    stream = {
+        lang: [t for r in rows for t in r["tokens"]] for lang, rows in by_lang.items()
+    }
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    for m in mapped:
+        seg = stream[m["lang"]][m["cum_before"] : m["cum_before"] + m["w"]]
+        assert seg == texts[m["doc_id"]].split(" "), m["doc_id"]
+
+
+def test_emit_chunks_bucketed_equals_reference_and_oracle(spark):
+    """Bucketed and window emitters are row-identical, and both match the
+    DuckDB mirror digest (the gated q_pack_chunks face)."""
+    from tokforge.pipeline.pack import SQL_PACK_CHUNKS, q_pack_chunks, emit_chunks
+    import pyspark.sql.functions as F
+
+    got = sorted(tuple(r) for r in q_pack_chunks(spark, SF_SMALL).collect())
+    ref = sorted(
+        tuple(r)
+        for r in emit_chunks(load_documents(spark, SF_SMALL), L, bucketed=False)
+        .select(
+            "lang",
+            "chunk_id",
+            F.col("n_fill").cast("long").alias("n_fill"),
+            F.md5(F.concat_ws(",", "tokens")).alias("chunk_md5"),
+        )
+        .collect()
+    )
+    assert got == ref
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMALL}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(SQL_PACK_CHUNKS).fetchall())
+    assert got == want

@@ -1,0 +1,36 @@
+"""Queries rotated OUT of the driver's 50-slot window keep their full
+(Spark query ↔ DuckDB oracle) equality here, so the three-way invariant
+survives registry churn.  Round-6 rotation: dedup_minhash_signatures and
+ann_ivf_assign gave their slots to corpus-assembly ops (their lineage is
+still driver-hash-checked inside dedup_lsh_pairs / ann_ivf_search).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_SMALL
+from tokforge.pipeline.dedup import DEDUP_QUERIES_EXTRA
+from tokforge.pipeline.similarity import SIMILARITY_QUERIES_EXTRA
+
+_ROTATED = {**DEDUP_QUERIES_EXTRA, **SIMILARITY_QUERIES_EXTRA}
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.mark.parametrize("name", sorted(_ROTATED))
+def test_rotated_out_query_matches_oracle(spark, name):
+    fn, sql = _ROTATED[name]
+    got = sorted(tuple(r) for r in fn(spark, SF_SMALL).collect())
+    con = duckdb.connect()
+    for t in _TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMALL}/{t}.parquet'"
+        )
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert len(got) == len(want) and got, name
+    assert got == want, name

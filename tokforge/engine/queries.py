@@ -60,13 +60,11 @@ OP_CHAINS: dict[str, str] = {
     "op_rotate_gif": "auto_rotate:false/rotate:270/format:gif",
     "op_exif_zoom": "zoom:1.5/ra:cubic/crop:24:0:ce/format:int64",  # auto_rotate on
     "op_watermark_url": f"watermark:0.8:ce/watermark_url:{_WMU_B64}/format:png",
-    "op_flatten": "watermark:1:nowe/background:0:0:255/format:jpeg/quality:90",
     # jpeg_options:1 = progressive scan layout (save.rs:84 interlace),
     # interacting with the max_bytes walk-down: the reorder changes run
     # structure, so the fit decision sees the progressive encoding
     "op_max_bytes": "size:64/quality:20/max_bytes:150/jpeg_options:1/format:jpeg",
     "op_format_default": "crop:50:0:ce",  # no format -> source dtype path
-    "op_raw": "raw",
     "op_chain_flagship": (
         "resize:fill:128:0:1:1/gravity:ce/padding:4/rotate:90/brightness:25/"
         "contrast:1.2/saturation:0.8/blur:1.5/sharpen:0.8/pixelate:4/"
@@ -102,6 +100,13 @@ OP_CHAINS_EXTRA: dict[str, str] = {
     # covered inside op_extend (fit:300) and op_edge_geometry (fit:280)
     # and kernel-vs-oracle parity covers this exact chain per-test.
     "op_resize_fit": "resize:fit:64/format:int16",
+    # op_raw and op_flatten were driver rows through round 5; their slots
+    # now gate corpus-assembly ops (pipeline.assembly).  raw bypass stays
+    # driver-covered via admission_policy's skip path (+ per-chain parity
+    # here); flatten's background/watermark arms stay driver-covered via
+    # op_extend/op_edge_effects and op_watermark_url/op_chain_flagship.
+    "op_raw": "raw",
+    "op_flatten": "watermark:1:nowe/background:0:0:255/format:jpeg/quality:90",
     # the watermark op itself stays driver-gated via op_watermark_url,
     # op_flatten and op_chain_flagship; this standalone-position chain is
     # parity-only (and feeds the `info` query below)
@@ -850,6 +855,7 @@ FROM txout"""
 
 
 def _pipeline_registry():
+    from tokforge.pipeline.assembly import ASSEMBLY_QUERIES
     from tokforge.pipeline.dedup import DEDUP_QUERIES
     from tokforge.pipeline.multimodal import MULTIMODAL_QUERIES
     from tokforge.pipeline.similarity import SIMILARITY_QUERIES
@@ -859,6 +865,7 @@ def _pipeline_registry():
     merged = {}
     merged.update(DEDUP_QUERIES)
     merged.update(SIMILARITY_QUERIES)
+    merged.update(ASSEMBLY_QUERIES)
     merged.update(TEXT_QUERIES)
     merged.update(MULTIMODAL_QUERIES)
     merged.update(STREAMING_QUERIES)

@@ -647,8 +647,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str, replicas: int = 1) -> Dat
 
 DEDUP_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "dedup_minhash_signatures": (q_minhash_signatures, _sql_minhash_signatures()),
     "dedup_lsh_pairs": (q_lsh_pairs, _sql_lsh_pairs()),
     "dedup_simhash": (q_simhash, _sql_simhash()),
     "dedup_ngram_jaccard": (q_ngram_jaccard, _sql_ngram_jaccard()),
+}
+
+# Rotated out of the driver window in round 6 (its slot gates a corpus-
+# assembly op): the signature lineage is still driver-hash-checked inside
+# dedup_lsh_pairs, and this exact (query, oracle) pair stays asserted by
+# tests/test_rotated_out_oracles.py.
+DEDUP_QUERIES_EXTRA = {
+    "dedup_minhash_signatures": (q_minhash_signatures, _sql_minhash_signatures()),
 }

@@ -2,14 +2,15 @@
 sequences ("concat then chunk every L tokens", the GPT-style packing
 that follows sampling/interleaving in a training-data pipeline).
 
-The deliverable is the doc -> chunk MAP, not the materialized token
-chunks: for each document, which training sequence its first token
-lands in (``chunk_first``), which one its last token lands in
-(``chunk_last``), and the offset of its first token inside that first
-chunk.  Writers consume the map to emit chunk files; materializing the
-chunks themselves is one partition-local pass over that map (tokens
-never shuffle globally — each (chunk range) is contiguous in the
-SAME deterministic order the map was computed in).
+Two deliverables:
+
+* the doc -> chunk MAP (``pack_sequences`` / ``pack_sequences_bucketed``):
+  for each document, which training sequence its first token lands in
+  (``chunk_first``), which one its last token lands in (``chunk_last``),
+  and the offset of its first token inside that first chunk;
+* the MATERIALIZED chunks (``emit_chunks``): the actual fixed-length
+  token sequences, the analog of the reference's encode stage emitting
+  real payloads (save.rs:74-178) rather than a plan for them.
 
 Semantics (mirrored in DuckDB by tests/test_pack.py):
 
@@ -106,13 +107,116 @@ def pack_sequences_bucketed(
     ).drop("__key", "__bucket", "__offset")
 
 
+def emit_chunks(
+    docs: DataFrame,
+    seq_len: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucketed: bool = True,
+) -> DataFrame:
+    """Materialize the packed training sequences: per (stratum, chunk_id),
+    the actual ``tokens`` array of length ``seq_len`` (the final chunk of
+    each stratum is the only partial one) plus ``n_fill`` (real tokens in
+    the chunk — padding is the trainer's choice, not baked in here).
+
+    Shape at 100 TB: each doc row explodes into one row per chunk it
+    touches, carrying EXACTLY the token slice that lands in that chunk
+    (``F.slice`` on the split array — pure JVM column algebra, no Python).
+    The single shuffle is the groupBy on (stratum, chunk_id): the minimal
+    movement that turns doc-sharded input into chunk-contiguous output,
+    with perfectly uniform groups (every group holds <= seq_len tokens),
+    so there is no skew and no group ever exceeds a few KB.  Within a
+    chunk, slices reassemble in ``cum_before`` order via
+    array_sort(collect_list(struct(cum_before, slice))) — cum_before is
+    unique per doc within a stratum, so the order is total.
+
+    Gap-free tiling vs the map and a DuckDB mirror digest are asserted by
+    tests/test_pack.py."""
+    fn = pack_sequences_bucketed if bucketed else pack_sequences
+    mapped = fn(docs, seq_len, stratum_col, id_col=id_col)
+    toks = F.split(F.col(text_col), " ")
+    per_chunk = (
+        mapped.withColumn(
+            "__chunk", F.explode(F.sequence("chunk_first", "chunk_last"))
+        )
+        # the doc's local token range [lo, hi) that lands in this chunk
+        .withColumn(
+            "__lo", F.greatest(F.lit(0), F.col("__chunk") * seq_len - F.col("cum_before"))
+        )
+        .withColumn(
+            "__hi",
+            F.least(F.col("w"), (F.col("__chunk") + 1) * seq_len - F.col("cum_before")),
+        )
+        .select(
+            stratum_col,
+            F.col("__chunk").alias("chunk_id"),
+            F.struct(
+                F.col("cum_before"),
+                F.slice(
+                    toks, (F.col("__lo") + 1).cast("int"), (F.col("__hi") - F.col("__lo")).cast("int")
+                ).alias("slice"),
+            ).alias("__piece"),
+        )
+    )
+    pieces = F.array_sort(F.collect_list("__piece"))
+    tokens = F.flatten(F.transform(pieces, lambda p: p["slice"]))
+    return per_chunk.groupBy(stratum_col, "chunk_id").agg(
+        tokens.alias("tokens"),
+    ).withColumn("n_fill", F.size("tokens"))
+
+
 def q_pack(
     spark: SparkSession, sf_dir: str, seq_len: int = 256, bucketed: bool = False
 ) -> DataFrame:
     """Per-language packing map over the documents table (pytest-covered;
-    the driver registry stays at the 50-query window)."""
+    the materialized-chunk digest is the driver-gated face, q_pack_chunks)."""
     docs = load_documents(spark, sf_dir)
     fn = pack_sequences_bucketed if bucketed else pack_sequences
     return fn(docs, seq_len).select(
         "doc_id", "lang", "w", "cum_before", "chunk_first", "chunk_last", "offset"
     )
+
+
+_PACK_L = 256
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated face of the chunk emitter: per (lang, chunk_id) the
+    fill count and an md5 digest of the materialized token sequence
+    (scalar-only — the driver's canonicalizer cannot hash array cells)."""
+    docs = load_documents(spark, sf_dir)
+    out = emit_chunks(docs, _PACK_L)
+    return out.select(
+        "lang",
+        "chunk_id",
+        F.col("n_fill").cast("long").alias("n_fill"),
+        F.md5(F.concat_ws(",", "tokens")).alias("chunk_md5"),
+    )
+
+
+# Mirror of the full emit: per-doc md5 order + running totals, tokens
+# unnested with their global position, regrouped by floor(pos / L) with the
+# in-chunk order preserved by the position.
+SQL_PACK_CHUNKS = f"""WITH d AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+         md5(CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+), c AS (
+  SELECT *, COALESCE(SUM(w) OVER (
+      PARTITION BY lang ORDER BY k, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM d
+), flat AS (
+  SELECT lang,
+         cum_before + generate_subscripts(toks, 1) - 1 AS pos,
+         unnest(toks) AS tok
+  FROM c
+)
+SELECT lang,
+       CAST(floor(pos / {_PACK_L}) AS BIGINT) AS chunk_id,
+       CAST(count(*) AS BIGINT) AS n_fill,
+       md5(string_agg(tok, ',' ORDER BY pos)) AS chunk_md5
+FROM flat
+GROUP BY 1, 2"""
