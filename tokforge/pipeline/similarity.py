@@ -86,14 +86,11 @@ def topk_per_key(
     )
 
 
-def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k: broadcast the query vectors against the corpus,
+def knn_bruteforce(emb: DataFrame, queries: DataFrame, k_top: int = TOP_K) -> DataFrame:
+    """Exact cosine top-k of ``queries`` (qid, qvec) against a corpus
+    (vec_id, embedding): broadcast the query vectors against the corpus,
     two-phase rank per query (local top-k then merge) — the corpus never
     shuffles and no single reducer sees more than k * n_partitions rows."""
-    emb = load_embeddings(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
-    )
     corpus = emb.select("vec_id", "embedding")
     joined = corpus.crossJoin(F.broadcast(queries)).filter(
         F.col("vec_id") != F.col("qid")
@@ -105,8 +102,16 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = joined.select("qid", "vec_id", cos.alias("cos_sim"))
     return topk_per_key(
-        scored, "qid", [F.desc("cos_sim"), F.col("vec_id")], TOP_K
+        scored, "qid", [F.desc("cos_sim"), F.col("vec_id")], k_top
     ).select("qid", "vec_id", "cos_sim", "rank")
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return knn_bruteforce(emb, queries, TOP_K)
 
 
 def _sql_knn_bruteforce() -> str:
@@ -477,6 +482,165 @@ SELECT DISTINCT vec_a, vec_b,
        round(({dot}) / (({na}) * ({nb})), 4) AS cos_sim
 FROM a JOIN b ON a.bucket = b.probe AND a.vec_a < b.vec_b
 WHERE round(({dot}) / (({na}) * ({nb})), 4) >= {NEAR_DUP_THRESHOLD}"""
+
+
+# --- trained IVF codebook (round 6) -----------------------------------------
+
+IVF_SEED = 20240817
+IVF_K = 8
+IVF_ITERS = 5
+IVF_NPROBE = 2
+
+
+def _unit(vecs):
+    import numpy as np
+
+    v = np.asarray(vecs, dtype=np.float64)
+    n = np.linalg.norm(v, axis=-1, keepdims=True)
+    n[n == 0.0] = 1.0
+    return v / n
+
+
+def _cell_from_units(vec_col: Column, cents_unit) -> Column:
+    """argmax-cosine cell over UNIT-NORM literal centroids.  Cosine argmax
+    is invariant to the vector's own norm, so only the dot products are
+    computed — k dots per row, O(k) expression size via array_max over
+    (dot, -cell) structs (ties -> lowest cell, the rank-rule mirror)."""
+    scs = []
+    for i, c in enumerate(cents_unit):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        scs.append(
+            F.struct(
+                _dot_spark(lit, vec_col).alias("dot"),
+                F.lit(-i).cast("int").alias("negcell"),
+            )
+        )
+    return (-F.array_max(F.array(*scs))["negcell"]).cast("int")
+
+
+def train_ivf(
+    emb: DataFrame,
+    k: int = IVF_K,
+    iters: int = IVF_ITERS,
+    seed: int = IVF_SEED,
+    dim: int = EMBED_DIM,
+):
+    """Spherical k-means codebook for IVF, Lloyd iterations as DataFrame
+    aggregations (replaces the round-5 "first k vectors" placeholder).
+
+    Shape at 100 TB: every iteration is ONE scan + ONE map-side-combinable
+    aggregation — assignment is a pure column expression against the
+    k literal unit centroids (zero shuffle), and the update groups k cells
+    into k x (dim + 1) doubles (64 avg(element_at) over the PLAIN column —
+    not the fanned-expression codegen trap) that collect to the driver,
+    exactly like any broadcast dim table.  No stage boundaries are needed:
+    each round rebuilds its plan from the base scan with fresh literals,
+    so lineage depth is constant (unlike connected_components, where the
+    round output feeds the next round's join).
+
+    Init is a seeded deterministic k-sample: the k lowest
+    md5(seed || vec_id) rows — a TakeOrdered top-k, no global sort.
+    Empty cells keep their previous centroid.  Returns (centroids,
+    unit_centroids) as plain nested lists — the model state a checkpoint
+    would record."""
+    import numpy as np
+
+    base = emb.select("vec_id", "embedding")
+    init_rows = (
+        base.withColumn(
+            "__r", F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("vec_id")))
+        )
+        .orderBy("__r", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    cents = np.array(
+        [[float(x) for x in r["embedding"]] for r in init_rows], dtype=np.float64
+    )
+    for _ in range(iters):
+        cell = _cell_from_units(F.col("embedding"), _unit(cents))
+        agg = (
+            base.select(cell.alias("cell"), "embedding")
+            .groupBy("cell")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.avg(F.element_at("embedding", i + 1)).alias(f"m{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        new = cents.copy()
+        for r in agg:
+            new[int(r["cell"])] = [float(r[f"m{i}"]) for i in range(dim)]
+        cents = new
+    return cents.tolist(), _unit(cents).tolist()
+
+
+def ivf_search_trained(
+    emb: DataFrame,
+    queries: DataFrame,
+    cents_unit,
+    nprobe: int = IVF_NPROBE,
+    k_top: int = TOP_K,
+) -> DataFrame:
+    """ANN top-k against a TRAINED codebook, probing the query's `nprobe`
+    nearest cells (multi-cell probe — the recall lever IVF actually
+    ships with).  ``queries`` carries (qid, qvec).
+
+    The corpus is assigned once (pure column expression); each query
+    explodes into its nprobe best cells (array_sort over k structs,
+    slice — O(k log k) per query row, queries are the tiny side); the
+    cell join broadcasts the exploded queries, so the corpus still never
+    shuffles; ranking reuses the two-phase top-k."""
+    corpus = emb.select(
+        "vec_id", "embedding",
+        _cell_from_units(F.col("embedding"), cents_unit).alias("cell"),
+    )
+    scs = []
+    for i, c in enumerate(cents_unit):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        scs.append(
+            F.struct(
+                (-_dot_spark(lit, F.col("qvec"))).alias("negdot"),
+                F.lit(i).cast("int").alias("cell"),
+            )
+        )
+    probe_cells = F.transform(
+        F.slice(F.array_sort(F.array(*scs)), 1, nprobe), lambda s: s["cell"]
+    )
+    probes = queries.select(
+        "qid", "qvec", F.explode(probe_cells).alias("cell")
+    )
+    joined = corpus.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    cos = F.round(
+        _dot_spark(F.col("qvec"), F.col("embedding"))
+        / (_norm_spark(F.col("qvec")) * _norm_spark(F.col("embedding"))),
+        4,
+    )
+    scored = joined.select("qid", "vec_id", cos.alias("cos_sim")).distinct()
+    return topk_per_key(
+        scored, "qid", [F.desc("cos_sim"), F.col("vec_id")], k_top
+    ).select("qid", "vec_id", "cos_sim", "rank")
+
+
+def q_ivf_search_trained(
+    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    """Trained-codebook ANN over the brute-force query set (pytest face;
+    recall@10 vs q_knn_bruteforce asserted by
+    tests/test_similarity_trained_ivf.py.  The driver-gated ann_ivf_search
+    row keeps the fixed first-N_CELLS codebook so its DuckDB oracle stays
+    exact — the trained path's correctness check IS the recall bound)."""
+    emb = load_embeddings(spark, sf_dir)
+    _, cents_unit = train_ivf(emb)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ivf_search_trained(emb, queries, cents_unit, nprobe=nprobe)
 
 
 SIMILARITY_QUERIES = {
