@@ -122,12 +122,22 @@ def _row_shingles(values: "np.ndarray", rowmap: "np.ndarray"):
     return g, rowmap[:-2][valid]
 
 
-def signatures_arrow(req: DataFrame, feature_space: int | None) -> DataFrame:
+def signatures_arrow(
+    req: DataFrame,
+    feature_space: int | None,
+    passthrough: tuple[tuple[str, str], ...] = (),
+) -> DataFrame:
     """doc_id + MinHash signature (array<long>, N_HASHES entries) via ONE
     mapInArrow pass.  ``feature_space`` folds shingles into the coarse LSH
     feature space first (min over the folded multiset == min over the
     distinct set, so array_distinct is unnecessary here).  Rows with no
-    shingles (n_tok < 3) emit a NULL signature — the callers filter them."""
+    shingles (n_tok < 3) emit a NULL signature — the callers filter them.
+
+    ``passthrough`` = ((name, ddl_type), ...) extra input columns carried
+    through the same Arrow batch unchanged (e.g. the event-time ``ts`` for
+    the streaming LSH stage) — the stream side reuses THIS function, so
+    batch and streaming signatures are the same integer math by
+    construction, not by parallel maintenance."""
     from typing import Iterator
 
     import pyarrow as pa
@@ -162,11 +172,16 @@ def signatures_arrow(req: DataFrame, feature_space: int | None) -> DataFrame:
 
                 arr = pc.if_else(pa.array(has), arr, pa.nulls(m, type=arr.type))
             yield pa.RecordBatch.from_arrays(
-                [batch.column("doc_id"), arr], names=["doc_id", "sig"]
+                [batch.column("doc_id")]
+                + [batch.column(n) for n, _ in passthrough]
+                + [arr],
+                names=["doc_id"] + [n for n, _ in passthrough] + ["sig"],
             )
 
-    return req.select("doc_id", "tokens").mapInArrow(
-        fn, "doc_id string, sig array<long>"
+    extra_sel = [n for n, _ in passthrough]
+    extra_ddl = "".join(f"{n} {t}, " for n, t in passthrough)
+    return req.select("doc_id", *extra_sel, "tokens").mapInArrow(
+        fn, f"doc_id string, {extra_ddl}sig array<long>"
     )
 
 
@@ -300,6 +315,22 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str, replicas: int = 1) -> DataFram
     # `clear_sig_cache` releases them all (asserted leak-free by
     # test_plan_quality.test_lsh_sig_cache_bounded_and_clearable).
     sig = _sig_cached(spark, sf_dir, replicas)
+    return band_pairs(sig)
+
+
+def band_pairs(sig: DataFrame) -> DataFrame:
+    """The band-bucket self-join over a signature table (doc_id,
+    sig array<long>) — the LSH hot path, shared by q_lsh_pairs and the
+    skew test (which feeds it a synthetic 30%-hot-band corpus).
+
+    Skew note: a hot band_val makes BOTH join sides hot at once — a
+    structural hotspot salting cannot fix (splitting a self-joined key
+    still needs every (salt_a, salt_b) pair somewhere).  The mitigation
+    is AQE's skew-join split (on by default in build_spark): the oversized
+    shuffle partition is split into advisory-size chunks and the matching
+    side's partition is replicated per chunk, so no single task owns the
+    whole bucket.  tests/test_skew.py pins `skew=true` in the EXECUTED
+    plan under a 30%-hot synthetic corpus."""
 
     def band_val(i):
         v = F.element_at("sig", ROWS_PER_BAND * i + 1)
