@@ -65,6 +65,10 @@ def _finish(d: DataFrame, rank, weights, stratum_col: str, id_col: str) -> DataF
     )
 
 
+# Hard cap on the weights=None convenience path (see q_interleave).
+_MAX_DERIVED_SOURCES = 1000
+
+
 def weighted_interleave(
     docs: DataFrame,
     weights: dict[str, float],
@@ -121,10 +125,24 @@ def q_interleave(
     bucketed: bool = False,
 ) -> DataFrame:
     """Per-source weighted mix over the documents table (pytest-covered;
-    the driver registry stays at the 50-query window)."""
+    the driver-gated face is pipeline/assembly.py q_gate_interleave, which
+    passes EXPLICIT weights — the production contract).  The weights=None
+    convenience derives them from the data, which is a driver-side
+    collect: it is capped at _MAX_DERIVED_SOURCES because at 10^6 sources
+    "collect the distinct strata" is the anti-pattern this repo bans —
+    real mixes are configuration, not data."""
     docs = load_documents(spark, sf_dir)
     if weights is None:
-        srcs = sorted(r[0] for r in docs.select("source").distinct().collect())
+        rows = (
+            docs.select("source").distinct().limit(_MAX_DERIVED_SOURCES + 1).collect()
+        )
+        if len(rows) > _MAX_DERIVED_SOURCES:
+            raise ValueError(
+                f"q_interleave(weights=None) derives weights from data and "
+                f"supports <= {_MAX_DERIVED_SOURCES} distinct sources; pass "
+                "explicit weights for wider corpora"
+            )
+        srcs = sorted(r[0] for r in rows)
         weights = {s: float(i + 1) for i, s in enumerate(srcs)}
     fn = weighted_interleave_bucketed if bucketed else weighted_interleave
     return fn(docs, weights).select(
