@@ -134,6 +134,18 @@ def run_one(spec: str, in_path: str) -> dict:
     cfg = EngineConfig()
     pq = spark.read.parquet(in_path)
 
+    # Each pass builds a FRESH DataFrame: re-collect()ing one DataFrame
+    # would silently reuse its shuffle map stage (measured: 0.07 s "passes"
+    # — only the final reduce re-ran), so per-pass construction is the only
+    # honest repeat.  That means every pass pays the fixed driver-side
+    # serial cost (Catalyst planning + job setup, ~0.8 s measured via
+    # Amdahl fit in a window where the bare-kernel 1->4 control scaled at
+    # 0.97 — tools/roofline_pair.py).  The pass therefore has to be LONG
+    # enough to amortize it, or the ratio measures the serial constant,
+    # not the pipeline: at 48 replicas (5.8 s / 2.1 s passes) the fixed
+    # ~0.8 s deflates a perfectly-scaling job to ~0.70; the criterion's
+    # own regime — sustained volume on a long-running cluster — is the
+    # large-replica setting.
     def once() -> tuple[float, int]:
         t0 = time.time()
         out = transform_requests_arrow(pq, cfg, verify=True)
