@@ -950,6 +950,17 @@ def test_volume_checkpoint_resume_rocksdb(spark, tmp_path):
         )
         _finish(q2, timeout=300)
         recovery_s = time.time() - t_resume
+        # recovery-time split (round-5 VERDICT item 7): per-batch engine
+        # timings from the progress events — what of the 60+ s is state
+        # restore / planning vs actually reprocessing rows
+        recovery_batches = [
+            {
+                "batchId": p["batchId"],
+                "numInputRows": p["numInputRows"],
+                "durationMs": p["durationMs"],
+            }
+            for p in q2.recentProgress
+        ]
     finally:
         apply_state_store(spark, "hdfs")
 
@@ -970,6 +981,27 @@ def test_volume_checkpoint_resume_rocksdb(spark, tmp_path):
                     "interrupted_mid_stream": True,  # asserted above
                     "phase1_seconds": round(t_killed - t0, 3),
                     "recovery_seconds": round(recovery_s, 3),
+                    # split: trigger_total = engine-attributed batch time;
+                    # the remainder of recovery_seconds is query restart +
+                    # offset-log replay + state-store RESTORE before the
+                    # first trigger runs
+                    "recovery_trigger_seconds": round(
+                        sum(
+                            b["durationMs"].get("triggerExecution", 0)
+                            for b in recovery_batches
+                        )
+                        / 1000.0,
+                        3,
+                    ),
+                    "recovery_addbatch_seconds": round(
+                        sum(
+                            b["durationMs"].get("addBatch", 0)
+                            for b in recovery_batches
+                        )
+                        / 1000.0,
+                        3,
+                    ),
+                    "recovery_batches": recovery_batches,
                     "provider": "rocksdb",
                 }
             )
