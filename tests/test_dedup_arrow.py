@@ -85,6 +85,49 @@ def test_simhash_arrow_matches_reference_formula(tok_df):
         assert rows[doc] == expect, doc
 
 
+def test_trailing_unshingleable_rows_do_not_truncate_previous_row(spark):
+    """Regression (round 6): a batch ENDING in shingle-less/empty rows used
+    to clamp the reduceat end index to len-1, silently dropping the final
+    shingle (minhash) / final token's vote (simhash) of the LAST non-empty
+    row — a chimeric signature first caught by the streaming-LSH DuckDB
+    oracle.  The fixture tokens are chosen so that the dropped element
+    changes the result (asserted below), and coalesce(1) pins one batch
+    with the short rows last."""
+    toks = [5, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5]
+    sh = _shingles(toks)
+    full_sig = [min((g * A[j] + B[j]) % P for g in sh) for j in range(N_HASHES)]
+    trunc_sig = [
+        min((g * A[j] + B[j]) % P for g in sh[:-1]) for j in range(N_HASHES)
+    ]
+    assert full_sig != trunc_sig, "fixture: last shingle must matter"
+
+    df = spark.createDataFrame(
+        [("a", toks), ("b", [7, 8]), ("c", [])],
+        "doc_id string, tokens array<int>",
+    ).coalesce(1)
+    got = {r["doc_id"]: r["sig"] for r in signatures_arrow(df, None).collect()}
+    assert got["a"] == full_sig
+    assert got["b"] is None and got["c"] is None
+
+    def ref_simhash(t):
+        out = 0
+        for bit in range(SIMHASH_BITS):
+            vote = sum(
+                1 if ((x * SIMHASH_MULT) % SIMHASH_MOD >> bit) & 1 else -1
+                for x in t
+            )
+            if vote > 0:
+                out += 1 << bit
+        return out
+
+    assert ref_simhash(toks) != ref_simhash(toks[:-1]), (
+        "fixture: last token's vote must matter"
+    )
+    sim = {r["doc_id"]: r["simhash16"] for r in simhash_arrow(df).collect()}
+    assert sim["a"] == ref_simhash(toks)
+    assert sim["b"] == ref_simhash([7, 8]) and sim["c"] == 0
+
+
 def test_single_row_batches(spark):
     one = spark.createDataFrame([("x", [1, 2, 3, 4])], "doc_id string, tokens array<int>")
     assert signatures_arrow(one, None).count() == 1

@@ -1,8 +1,11 @@
 """Queries rotated OUT of the driver's 50-slot window keep their full
 (Spark query ↔ DuckDB oracle) equality here, so the three-way invariant
-survives registry churn.  Round-6 rotation: dedup_minhash_signatures and
+survives registry churn.  Round-6 rotations: dedup_minhash_signatures and
 ann_ivf_assign gave their slots to corpus-assembly ops (their lineage is
-still driver-hash-checked inside dedup_lsh_pairs / ann_ivf_search).
+still driver-hash-checked inside dedup_lsh_pairs / ann_ivf_search);
+stream_window_tumbling gave its slot to stream_lsh_dedup (its semantics —
+watermark-finalized tumbling counts == the batch GROUP BY — stay gated
+through window_tumbling_sliding).
 """
 
 from __future__ import annotations
@@ -13,8 +16,13 @@ import pytest
 from tests.conftest import SF_SMALL
 from tokforge.pipeline.dedup import DEDUP_QUERIES_EXTRA
 from tokforge.pipeline.similarity import SIMILARITY_QUERIES_EXTRA
+from tokforge.streaming.queries import STREAMING_QUERIES_EXTRA
 
-_ROTATED = {**DEDUP_QUERIES_EXTRA, **SIMILARITY_QUERIES_EXTRA}
+_ROTATED = {
+    **DEDUP_QUERIES_EXTRA,
+    **SIMILARITY_QUERIES_EXTRA,
+    **STREAMING_QUERIES_EXTRA,
+}
 
 _TABLES = (
     "region nation customer supplier part orders lineitem events "

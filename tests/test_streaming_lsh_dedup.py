@@ -125,6 +125,32 @@ def test_near_dup_readmitted_past_horizon(spark, tmp_path):
     ]
 
 
+def test_gated_row_matches_duckdb_oracle(spark):
+    """The driver-gated face (streaming/queries.q_stream_lsh_dedup) equals
+    its DuckDB oracle row-for-row at sf0.001: the whole stream — Arrow
+    signatures, band-bucket keyed state, per-doc verdicts, exactly-once
+    sink — replayed as one SQL window over the (ts, doc_id) arrival order."""
+    import duckdb
+
+    from tokforge.streaming.queries import (
+        SQL_STREAM_LSH_DEDUP,
+        q_stream_lsh_dedup,
+    )
+
+    got = sorted(
+        tuple(r) for r in q_stream_lsh_dedup(spark, SF_SMALL).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMALL}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(SQL_STREAM_LSH_DEDUP).fetchall())
+    assert len(got) == len(want) and got
+    assert got == want
+    flagged = [r for r in got if r[4]]
+    assert flagged, "fixture must produce near-dup verdicts"
+
+
 def test_streaming_signatures_equal_batch(spark):
     """signatures_with_ts IS signatures_arrow with a passthrough column:
     identical (doc_id -> sig) on the same rows."""

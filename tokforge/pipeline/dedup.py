@@ -153,14 +153,22 @@ def signatures_arrow(
             seg = np.zeros(m + 1, dtype=np.int64)
             np.cumsum(counts, out=seg[1:])
             has = counts > 0
-            sig = np.empty((m, N_HASHES), dtype=np.int64)
-            for j in range(N_HASHES):
-                hj = (g * A[j] + B[j]) % P
-                if len(hj):
-                    mins = np.minimum.reduceat(hj, np.minimum(seg[:-1], len(hj) - 1))
-                    sig[:, j] = np.where(has, mins, 0)
-                else:
-                    sig[:, j] = 0
+            # reduceat over NON-EMPTY rows' start offsets only: each
+            # index pair then spans exactly one row's shingles (empty
+            # rows contribute no elements, so skipping their indices is
+            # exact), and the final segment runs to len(hj).  The old
+            # clamp trick (min(seg, len-1) to keep trailing-empty
+            # indices in bounds) fed len-1 as the END of the last
+            # non-empty row's segment, silently dropping its final
+            # shingle — a chimeric signature caught by the streaming
+            # LSH oracle (the only gated fixture with unshingleable
+            # rows, which sort last in the batch).
+            starts = seg[:-1][has]
+            sig = np.zeros((m, N_HASHES), dtype=np.int64)
+            if starts.size:
+                for j in range(N_HASHES):
+                    hj = (g * A[j] + B[j]) % P
+                    sig[has, j] = np.minimum.reduceat(hj, starts)
             flat = sig[has].reshape(-1)
             offs = np.zeros(m + 1, dtype=np.int32)
             np.cumsum(np.where(has, N_HASHES, 0), out=offs[1:])
@@ -200,17 +208,23 @@ def simhash_arrow(req: DataFrame) -> DataFrame:
             h = (values * SIMHASH_MULT) % SIMHASH_MOD
             seg = np.zeros(m + 1, dtype=np.int64)
             np.cumsum(lengths, out=seg[1:])
-            starts = np.minimum(seg[:-1], max(len(values) - 1, 0))
+            # non-empty rows' starts only — same trailing-empty-row
+            # reduceat fix as signatures_arrow (the old clamp dropped
+            # the last token's vote from the final non-empty row when
+            # empty rows trailed it); empty rows keep simhash 0, which
+            # is the oracle's NULL-list_sum semantics.
+            nonzero = lengths > 0
+            starts = seg[:-1][nonzero]
             simhash = np.zeros(m, dtype=np.int64)
             # one 1-D reduceat per bit (a 2-D axis-0 reduceat is ~100x
             # slower); vote_b = 2*ones_b - n  >  0  <=>  majority of 1s
-            for bit in range(SIMHASH_BITS):
-                ones = (h >> bit) & 1
-                if len(ones):
+            if starts.size:
+                nz_lengths = lengths[nonzero]
+                for bit in range(SIMHASH_BITS):
+                    ones = (h >> bit) & 1
                     ones_per_row = np.add.reduceat(ones, starts)
-                    votes = 2 * ones_per_row - lengths
-                    votes[lengths == 0] = 0
-                    simhash += (votes > 0) * (1 << bit)
+                    votes = 2 * ones_per_row - nz_lengths
+                    simhash[nonzero] += (votes > 0) * (1 << bit)
             yield pa.RecordBatch.from_arrays(
                 [batch.column("doc_id"), pa.array(simhash, type=pa.int64())],
                 names=["doc_id", "simhash16"],

@@ -253,19 +253,28 @@ def with_lsh_state(
 def doc_verdicts(band_rows: DataFrame) -> DataFrame:
     """Per-doc OR over the band verdicts.  Stateless — run it INSIDE
     foreachBatch: all band rows of a doc are emitted in the same
-    micro-batch, so the batch-local groupBy is exact."""
-    best = F.max(
-        F.struct(F.col("est_jaccard"), F.col("matched_doc"))
-    ).alias("b")
+    micro-batch, so the batch-local reduction is exact.
+
+    The winner is (max est_jaccard, then MIN matched_doc) — the same
+    total order the per-band state stage uses, so the hierarchical max
+    equals a single global argmax over all of the doc's candidates.
+    That property is what lets the driver-gated face mirror the whole
+    stream in one SQL window (streaming/queries.py SQL_STREAM_LSH_DEDUP)
+    instead of reproducing the band/bucket decomposition."""
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("doc_id", "ts").orderBy(
+        F.desc("est_jaccard"), F.asc_nulls_last("matched_doc"), "band_idx"
+    )
     return (
-        band_rows.groupBy("doc_id", "ts")
-        .agg(best)
+        band_rows.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") == 1)
         .select(
             "doc_id",
             "ts",
-            F.col("b.matched_doc").alias("matched_doc"),
-            F.col("b.est_jaccard").alias("est_jaccard"),
-            F.col("b.matched_doc").isNotNull().alias("near_dup"),
+            "matched_doc",
+            "est_jaccard",
+            F.col("matched_doc").isNotNull().alias("near_dup"),
         )
     )
 

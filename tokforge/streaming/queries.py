@@ -321,13 +321,171 @@ SELECT doc_id,
 FROM req"""
 
 
+# ---------------------------------------------------------------------------
+# Streaming near-dup (LSH) at ingest — the round-6 gated row.
+# ---------------------------------------------------------------------------
+
+# Fixture doc_id spaces: originals < _DUP_OFFSET <= exact-token replicas
+# < _SHORT_OFFSET <= unshingleable stubs.  Far above any sf's doc_num.
+_DUP_OFFSET = 10_000_000
+_SHORT_OFFSET = 20_000_000
+_SHORT_MOD = 50
+
+
+def q_stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection AT INGEST as a real stream
+    (streaming/lsh_dedup.py): Arrow MinHash signatures -> band-bucket keyed
+    `applyInPandasWithState` LSH index -> per-doc verdicts through the
+    exactly-once sink.  Fixture = originals + an exact-token replica of
+    every doc 30 s later (different doc_id, so exact dedup would MISS it —
+    the LSH stage must flag it) + an unshingleable 2-token stub for every
+    50th doc (NULL signature: passes through unflagged).
+
+    GATE FIXTURE ONLY: coalesce(1) pins one input file -> one micro-batch,
+    so "seen earlier" is exactly the state stage's in-batch (ts, doc_id)
+    order and the oracle can replay it as a SQL window.  The production
+    path needs no global order (state persists across micro-batches and
+    arrival order IS the semantics); do not copy the coalesce."""
+    from tokforge.streaming.job import read_sink
+    from tokforge.streaming.lsh_dedup import lsh_dedup_stream
+
+    def build(tmp: str) -> str:
+        req = requests_df(spark, sf_dir, _CHAIN)
+        d = F.col("doc_id").cast("long")
+        dup = req.withColumn(
+            "doc_id", (d + _DUP_OFFSET).cast("string")
+        ).withColumn("ts", (F.unix_timestamp("ts") + 30).cast("timestamp"))
+        short = (
+            req.filter(d % _SHORT_MOD == 0)
+            .withColumn("doc_id", (d + _SHORT_OFFSET).cast("string"))
+            .withColumn("ts", (F.unix_timestamp("ts") + 60).cast("timestamp"))
+            .withColumn("tokens", F.slice("tokens", 1, 2))
+            .withColumn("n_tok", F.lit(2).cast("int"))
+        )
+        req.unionByName(dup).unionByName(short).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{tmp}/in/drop=0")
+        query, _ = lsh_dedup_stream(
+            spark, f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt", available_now=True
+        )
+        _drain(query)
+        return f"{tmp}/out"
+
+    out = read_sink(spark, _fixture_out(spark, sf_dir, "stream-lsh", build))
+    return out.select(
+        "doc_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        "matched_doc",
+        "est_jaccard",
+        "near_dup",
+    )
+
+
+def _sql_stream_lsh_dedup() -> str:
+    """Exact replay of the streaming LSH verdicts: same shingle -> coarse
+    feature -> MinHash -> band integer math as the batch LSH oracle
+    (pipeline/dedup._lsh_ctes), with 'seen earlier' = the state stage's
+    (ts, doc_id) processing order and the match-time event-horizon check.
+    The hierarchical (per-bucket then per-doc) argmax in the kernel is a
+    total order over (est DESC, matched_doc ASC), so one flat window
+    reproduces it."""
+    from tokforge.pipeline.dedup import _SQL_SHINGLES  # noqa: PLC2701
+    from tokforge.pipeline.dedup import (
+        A,
+        B,
+        FEATURE_SPACE,
+        N_BANDS,
+        N_HASHES,
+        P,
+        ROWS_PER_BAND,
+    )
+    from tokforge.streaming.lsh_dedup import (
+        DEFAULT_HORIZON_MS,
+        DEFAULT_THRESHOLD,
+    )
+
+    hashes = ", ".join(
+        f"list_min(list_transform(feats, g -> (g * {A[j]} + {B[j]}) % {P})) AS h{j}"
+        for j in range(N_HASHES)
+    )
+
+    def band_sql(i: int) -> str:
+        v = f"h{ROWS_PER_BAND * i}"
+        for j in range(1, ROWS_PER_BAND):
+            v = f"(({v}) * 31 + h{ROWS_PER_BAND * i + j}) % {P}"
+        return v
+
+    band_structs = ", ".join(
+        f"{{'bi': {i}, 'bv': {band_sql(i)}}}" for i in range(N_BANDS)
+    )
+    h_cols = ", ".join(f"h{j}" for j in range(N_HASHES))
+    eq_sum = " + ".join(
+        f"CASE WHEN l.h{j} = e.h{j} THEN 1 ELSE 0 END" for j in range(N_HASHES)
+    )
+    horizon_s = DEFAULT_HORIZON_MS // 1000
+    return f"""WITH {sql_requests_cte()},
+inp AS (
+  SELECT doc_id, ts, tokens, n_tok FROM req
+  UNION ALL
+  SELECT CAST(doc_num + {_DUP_OFFSET} AS VARCHAR),
+         ts + INTERVAL 30 SECOND, tokens, n_tok FROM req
+  UNION ALL
+  SELECT CAST(doc_num + {_SHORT_OFFSET} AS VARCHAR),
+         ts + INTERVAL 60 SECOND, tokens[1:2], 2
+  FROM req WHERE doc_num % {_SHORT_MOD} = 0
+),
+sh AS (
+  SELECT doc_id, ts,
+         list_transform({_SQL_SHINGLES}, g -> g % {FEATURE_SPACE}) AS feats
+  FROM inp
+),
+sig AS (SELECT doc_id, ts, {hashes} FROM sh WHERE len(feats) > 0),
+bands AS (
+  SELECT doc_id, ts, {h_cols}, b.bi AS band_idx, b.bv AS band_val
+  FROM sig, unnest([{band_structs}]) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id, l.ts, e.doc_id AS matched_doc,
+         CAST({eq_sum} AS DOUBLE) / {N_HASHES} AS est
+  FROM bands l JOIN bands e
+    ON l.band_idx = e.band_idx AND l.band_val = e.band_val
+   AND (e.ts < l.ts OR (e.ts = l.ts AND e.doc_id < l.doc_id))
+   AND CAST(epoch(l.ts) AS BIGINT) - CAST(epoch(e.ts) AS BIGINT) <= {horizon_s}
+),
+win AS (
+  SELECT doc_id, ts, matched_doc, est,
+         row_number() OVER (
+           PARTITION BY doc_id, ts ORDER BY est DESC, matched_doc ASC
+         ) AS rn
+  FROM cand WHERE est >= CAST('{DEFAULT_THRESHOLD!r}' AS DOUBLE)
+)
+SELECT i.doc_id,
+       CAST(epoch(i.ts) AS BIGINT) AS ts_s,
+       w.matched_doc,
+       coalesce(w.est, CAST(0 AS DOUBLE)) AS est_jaccard,
+       w.matched_doc IS NOT NULL AS near_dup
+FROM inp i
+LEFT JOIN win w ON w.doc_id = i.doc_id AND w.ts = i.ts AND w.rn = 1"""
+
+
+SQL_STREAM_LSH_DEDUP = _sql_stream_lsh_dedup()
+
+
 STREAMING_QUERIES = {
     "stream_cache_counts": (q_stream_cache_counts, SQL_STREAM_CACHE_COUNTS),
-    "stream_window_tumbling": (q_stream_tumbling, SQL_STREAM_TUMBLING),
+    "stream_lsh_dedup": (q_stream_lsh_dedup, SQL_STREAM_LSH_DEDUP),
     "stream_info_cache": (q_stream_info_cache, SQL_STREAM_INFO_CACHE),
     "stream_ratelimit": (q_stream_ratelimit, SQL_STREAM_RATELIMIT),
     "stream_join_invalidation": (
         q_stream_join_invalidation,
         SQL_STREAM_JOIN_INVALIDATION,
     ),
+}
+
+# Rotated out of the driver's 50-slot window in round 6 (its semantics —
+# watermark-finalized tumbling counts == the batch GROUP BY — are a strict
+# subset of the gated `window_tumbling_sliding`); full Spark↔DuckDB
+# equality is kept by tests/test_rotated_out_oracles.py.
+STREAMING_QUERIES_EXTRA = {
+    "stream_window_tumbling": (q_stream_tumbling, SQL_STREAM_TUMBLING),
 }
