@@ -245,3 +245,99 @@ def test_quiet_key_flushes_on_event_time_timeout(spark, tmp_path):
     assert _matches(spark, tmp) == [("k", "d1", "d2")]
     # and the match genuinely waited for the watermark, not the batch
     assert got_before == []
+
+
+# ---------------------------------------------------------------------------
+# Absence detection ("A with no B within T")
+# ---------------------------------------------------------------------------
+
+
+def test_absence_batch_matches_duckdb(spark):
+    """Batch face == DuckDB mirror on the real fixture, and the horizon
+    genuinely splits the A-population (some alerts, some closed)."""
+    from tokforge.streaming.patterns import (
+        detect_absence_batch,
+        sql_detect_absence,
+    )
+
+    a, b, within_s = "S", "L", 40
+    ev = _events(spark)
+    got = sorted(
+        tuple(r) for r in detect_absence_batch(ev, a, b, within_s).collect()
+    )
+
+    pdf = ev.toPandas()
+    con = duckdb.connect()
+    con.register("events", pdf)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(sql_detect_absence(a, b, within_s, "events")).fetchall()
+    )
+    n_a = sum(pdf["event"] == a)
+    assert got == want
+    assert 0 < len(got) < n_a
+
+
+def _absence_run(spark, tmp, a, b, within_s, watermark="5 seconds"):
+    from tokforge.streaming.patterns import absence_stream
+    from tokforge.streaming.queries import _drain  # noqa: PLC2701
+
+    query, sink = absence_stream(
+        spark,
+        f"{tmp}/in",
+        f"{tmp}/out",
+        f"{tmp}/ckpt",
+        a,
+        b,
+        within_s,
+        watermark=watermark,
+        classifier=F.col("ops"),
+    )
+    _drain(query)
+    return sink
+
+
+def test_absence_stream_equals_batch(spark, tmp_path):
+    """Streaming alerts == the batch face on a grid of arrangements:
+    closed-in-time (no alert), closed-too-late (alert), never-closed
+    (alert), B-before-A (no close), and a CROSS-micro-batch close where
+    the B arrives one batch after its A."""
+    from tokforge.streaming.patterns import detect_absence_batch
+
+    tmp = str(tmp_path)
+    a, b, within_s = "A", "B", 60
+    drop0 = [
+        ("k1", "d1", "A", "2024-01-01 00:00:00"),  # closed by B at +30 s
+        ("k1", "d2", "B", "2024-01-01 00:00:30"),
+        ("k1", "d3", "A", "2024-01-01 00:01:00"),  # B at +90 s: too late -> alert
+        ("k1", "d4", "B", "2024-01-01 00:02:30"),
+        ("k2", "d5", "B", "2024-01-01 00:00:00"),  # B before A: no close
+        ("k2", "d6", "A", "2024-01-01 00:00:10"),  # never closed -> alert
+        ("k3", "d7", "A", "2024-01-01 00:05:00"),  # closed CROSS-batch
+    ]
+    drop1 = [
+        ("k3", "d8", "B", "2024-01-01 00:05:40"),
+    ]
+    _write_drop(_req_rows(spark, drop0), f"{tmp}/in", 0)
+    _absence_run(spark, tmp, a, b, within_s)
+    _write_drop(_req_rows(spark, drop1), f"{tmp}/in", 1)
+    _absence_run(spark, tmp, a, b, within_s)
+    for i, ts in ((2, "2030-01-01 00:00:00"), (3, "2030-01-02 00:00:00")):
+        _write_drop(_sentinel(spark, ts), f"{tmp}/in", i)
+        _absence_run(spark, tmp, a, b, within_s)
+
+    out = read_sink(spark, f"{tmp}/out")
+    got = sorted(
+        (r["key"], r["doc_id"])
+        for r in out.filter(F.col("key") != "__sentinel__").collect()
+    )
+    assert got == [("k1", "d3"), ("k2", "d6")]
+
+    all_rows = _req_rows(spark, drop0 + drop1).withColumn(
+        "event", F.col("ops")
+    ).select("source", "doc_id", "event", "ts")
+    want = sorted(
+        (r["key"], r["doc_id"])
+        for r in detect_absence_batch(all_rows, a, b, within_s).collect()
+    )
+    assert got == want

@@ -360,3 +360,259 @@ def pattern_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start(), sink
+
+
+# ---------------------------------------------------------------------------
+# Absence detection — "A with no B within T" (the CEP case windowed SQL
+# cannot stream: the alert fires on the PASSAGE OF TIME, not on a row).
+# ---------------------------------------------------------------------------
+
+ABSENCE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("doc_id", StringType()),
+        StructField("start_ts", TimestampType()),
+        StructField("deadline_ts", TimestampType()),
+    ]
+)
+
+ABSENCE_STATE_SCHEMA = StructType(
+    [
+        StructField("pend_ts", ArrayType(LongType())),
+        StructField("pend_id", ArrayType(StringType())),
+        StructField("pend_ev", ArrayType(StringType())),
+        StructField("open_ts", ArrayType(LongType())),  # unclosed A events
+        StructField("open_id", ArrayType(StringType())),
+    ]
+)
+
+
+def detect_absence_batch(
+    events: DataFrame,
+    a: str,
+    b: str,
+    within_s: int,
+    key_col: str = "source",
+    event_col: str = "event",
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch face: every `a` event for which NO `b` event of the same key
+    follows it in the (ts, id) total order with ``b.ts <= a.ts +
+    within_s`` (same-ts later-id `b` counts as following — ties resolve
+    by the id tiebreak everywhere in this module).
+
+    NOT a range join: one per-key window in time-DESCENDING order carries
+    the running min of b-timestamps over the rows STRICTLY LATER than the
+    current one — ``next_b_ts`` — so the check is a scalar compare.  One
+    shuffle + per-key sort; no O(nA*nB) pair expansion at any key."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).desc(), F.col(id_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    next_b = F.min(
+        F.when(F.col(event_col) == b, F.unix_timestamp(ts_col))
+    ).over(w)
+    return (
+        events.withColumn("__next_b_s", next_b)
+        .filter(
+            (F.col(event_col) == a)
+            & (
+                F.col("__next_b_s").isNull()
+                | (
+                    F.col("__next_b_s")
+                    > F.unix_timestamp(ts_col) + F.lit(within_s)
+                )
+            )
+        )
+        .select(
+            F.col(key_col).alias("key"),
+            F.col(id_col).alias("doc_id"),
+            F.col(ts_col).alias("start_ts"),
+            F.timestamp_seconds(
+                F.unix_timestamp(ts_col) + F.lit(within_s)
+            ).alias("deadline_ts"),
+        )
+    )
+
+
+def sql_detect_absence(
+    a: str,
+    b: str,
+    within_s: int,
+    source_cte: str = "events",
+    key_col: str = "source",
+    event_col: str = "event",
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of ``detect_absence_batch`` — the identical
+    descending-window running min."""
+    return f"""SELECT key, doc_id, start_ts, start_ts + INTERVAL {within_s} SECOND AS deadline_ts
+FROM (
+  SELECT {key_col} AS key, {id_col} AS doc_id, {ts_col} AS start_ts,
+         {event_col} AS ev,
+         min(CASE WHEN {event_col} = '{b}'
+                  THEN CAST(epoch({ts_col}) AS BIGINT) END)
+           OVER (PARTITION BY {key_col}
+                 ORDER BY {ts_col} DESC, {id_col} DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS next_b_s
+  FROM {source_cte}
+)
+WHERE ev = '{a}'
+  AND (next_b_s IS NULL
+       OR next_b_s > CAST(epoch(start_ts) AS BIGINT) + {within_s})"""
+
+
+def make_absence_state_func(a: str, b: str, within_s: int):
+    """Keyed-state absence detector over the same reorder discipline as
+    the pattern matcher: finalized events are replayed in (ts, id) order;
+    an `a` opens a deadline, a later `b` inside the horizon closes every
+    open deadline it satisfies, and the watermark passing a deadline —
+    not any row — fires the alert (EventTimeTimeout keeps that true for
+    keys that never receive another event)."""
+    within_ms = int(within_s) * 1000
+
+    def abs_fn(
+        key: Tuple[str],
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            pend_ts, pend_id, pend_ev, open_ts, open_id = state.get
+            pending = [list(t) for t in zip(pend_ts, pend_id, pend_ev)]
+            open_a = [list(t) for t in zip(open_ts, open_id)]
+        else:
+            pending, open_a = [], []
+
+        if not state.hasTimedOut:
+            for rows in pdf_iter:
+                if not len(rows):
+                    continue
+                ts_ms = rows["ts"].astype("int64").to_numpy() // 1_000_000
+                ids = rows["doc_id"].to_numpy(dtype=object)
+                evs = rows["event"].to_numpy(dtype=object)
+                pending.extend(
+                    [int(t), str(d), str(e)]
+                    for t, d, e in zip(ts_ms, ids, evs)
+                )
+
+        wm = state.getCurrentWatermarkMs()
+        pending.sort(key=lambda r: (r[0], r[1]))
+        n_ready = 0
+        while n_ready < len(pending) and pending[n_ready][0] <= wm:
+            n_ready += 1
+        ready, pending = pending[:n_ready], pending[n_ready:]
+
+        for t, d, e in ready:
+            if e == a:
+                open_a.append([t, d])
+            if e == b:
+                # a `b` closes every open deadline whose `a` PRECEDES it
+                # in the (ts, id) total order (being in open_a encodes
+                # that — including a same-ts lower-id `a`, which is also
+                # what the batch face's strictly-later-rows window sees)
+                # and whose horizon it meets
+                open_a = [
+                    o for o in open_a
+                    if not (o[0] <= t <= o[0] + within_ms)
+                ]
+
+        # fire every deadline the watermark has passed: all events <= wm
+        # are final, so no closing b can still arrive for these
+        fired = [o for o in open_a if o[0] + within_ms < wm]
+        open_a = [o for o in open_a if o[0] + within_ms >= wm]
+
+        if pending or open_a:
+            state.update(
+                (
+                    [r[0] for r in pending],
+                    [r[1] for r in pending],
+                    [r[2] for r in pending],
+                    [o[0] for o in open_a],
+                    [o[1] for o in open_a],
+                )
+            )
+            # earliest thing that needs the clock: a buffered arrival or
+            # an open deadline's expiry, whichever comes first
+            nxt = []
+            if pending:
+                nxt.append(pending[0][0] + 1)
+            if open_a:
+                nxt.append(min(o[0] for o in open_a) + within_ms + 1)
+            state.setTimeoutTimestamp(min(nxt))
+        else:
+            state.remove()
+
+        if fired:
+            fired.sort(key=lambda o: (o[0], o[1]))
+            yield pd.DataFrame(
+                {
+                    "key": np.array([key[0]] * len(fired), dtype=object),
+                    "doc_id": np.array([o[1] for o in fired], dtype=object),
+                    "start_ts": pd.to_datetime(
+                        [o[0] for o in fired], unit="ms"
+                    ),
+                    "deadline_ts": pd.to_datetime(
+                        [o[0] + within_ms for o in fired], unit="ms"
+                    ),
+                }
+            )
+
+    return abs_fn
+
+
+def with_absence_state(
+    events: DataFrame,
+    a: str,
+    b: str,
+    within_s: int,
+    key_col: str = "source",
+) -> DataFrame:
+    """Attach the absence detector to a watermarked event stream."""
+    return events.groupBy(key_col).applyInPandasWithState(
+        make_absence_state_func(a, b, within_s),
+        ABSENCE_OUTPUT_SCHEMA,
+        ABSENCE_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def absence_stream(
+    spark: SparkSession,
+    in_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    a: str,
+    b: str,
+    within_s: int,
+    watermark: str = "10 minutes",
+    available_now: bool = True,
+    classifier: "F.Column | None" = None,
+):
+    """Full absence-CEP job: file stream -> classifier -> watermark ->
+    keyed absence state -> exactly-once sink.  Returns (query, sink)."""
+    from tokforge.streaming.sink import IdempotentParquetSink
+    from tokforge.streaming.source import read_request_stream
+
+    stream = (
+        read_request_stream(spark, in_path)
+        .withColumn(
+            "event", classify_event() if classifier is None else classifier
+        )
+        .select("source", "doc_id", "event", "ts")
+        .withWatermark("ts", watermark)
+    )
+    alerts = with_absence_state(stream, a, b, within_s)
+    sink = IdempotentParquetSink(out_dir)
+    writer = (
+        alerts.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), sink
