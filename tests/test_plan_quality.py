@@ -209,3 +209,31 @@ def test_admission_policy_filter_is_jvm_side_and_shuffle_free(spark):
     assert "Exchange" not in plan
     assert "MapInArrow" in plan
     assert "PushedFilters" in plan or "DataFilters" in plan
+
+
+def test_cep_batch_faces_single_window_single_exchange(spark):
+    """Pattern face: every lead shares one window spec, so Catalyst emits
+    ONE Window node after ONE hash exchange on the key — pattern length
+    adds expressions, not stages.  Absence face: same single-window shape
+    over the descending order (running min), NOT a range join — no
+    nested-loop / cartesian pair expansion."""
+    from tokforge.streaming.patterns import (
+        detect_absence_batch,
+        detect_pattern_batch,
+    )
+
+    ev = requests_df(spark, SF_SMALL, "crop:4:0/format:png").select(
+        "source",
+        "doc_id",
+        (F.element_at("tokens", 1) % 3).cast("string").alias("event"),
+        "ts",
+    )
+
+    for df in (
+        detect_pattern_batch(ev, ["0", "*", "2", "1"], 600),
+        detect_absence_batch(ev, "0", "2", 600),
+    ):
+        plan = plan_of(df)
+        assert plan.count("Window") == 1, plan
+        assert plan.count("Exchange") <= 2, plan  # hash + AQE read at most
+        assert "NestedLoop" not in plan and "Cartesian" not in plan, plan

@@ -89,6 +89,21 @@ hash exchange; the offsets aggregation is map-side combinable.  Resume
 fmt(epoch_order_bucketed(load_documents(spark, SF).select("doc_id", "source"),
                          epoch=0, id_cols=("doc_id",)))))
 
+from tokforge.streaming.patterns import detect_pattern_batch, detect_absence_batch
+ev = requests_df(spark, SF, "resize:fit:64/format:int16").select(
+    "source", "doc_id",
+    (F.element_at("tokens", 1) % 3).cast("string").alias("event"), "ts")
+sections.append(("CEP batch faces (pattern leads / absence running-min)",
+"""What to check (pattern): ALL pattern positions collapse into ONE
+`Window` node (L-1 leads share the (source | ts,doc_id) spec) after ONE
+hash exchange on the key — adding pattern length adds expressions, not
+stages.  (absence): the 'no B within T' check is the same single-window
+shape over the DESCENDING order (running min of B timestamps), NOT a
+range join — no O(nA*nB) pair expansion at any key.""",
+fmt(detect_pattern_batch(ev, ["0", "*", "2"], 600))
++ "\n\n--- absence ---\n\n"
++ fmt(detect_absence_batch(ev, "0", "2", 600))))
+
 with open('/root/repo/docs/PLANS.md', 'w') as f:
     f.write("""# Physical plans of the headline queries (evidence, not intention)
 
