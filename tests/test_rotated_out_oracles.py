@@ -5,7 +5,9 @@ ann_ivf_assign gave their slots to corpus-assembly ops (their lineage is
 still driver-hash-checked inside dedup_lsh_pairs / ann_ivf_search);
 stream_window_tumbling gave its slot to stream_lsh_dedup (its semantics —
 watermark-finalized tumbling counts == the batch GROUP BY — stay gated
-through window_tumbling_sliding).
+through window_tumbling_sliding); metrics_by_source gave its slot to
+cep_pattern (a plain per-source GROUP BY is a strict subset of the gated
+window_tumbling_sliding surface).
 """
 
 from __future__ import annotations
@@ -14,11 +16,13 @@ import duckdb
 import pytest
 
 from tests.conftest import SF_SMALL
+from tokforge.engine.queries import ENGINE_QUERIES_EXTRA
 from tokforge.pipeline.dedup import DEDUP_QUERIES_EXTRA
 from tokforge.pipeline.similarity import SIMILARITY_QUERIES_EXTRA
 from tokforge.streaming.queries import STREAMING_QUERIES_EXTRA
 
 _ROTATED = {
+    **ENGINE_QUERIES_EXTRA,
     **DEDUP_QUERIES_EXTRA,
     **SIMILARITY_QUERIES_EXTRA,
     **STREAMING_QUERIES_EXTRA,

@@ -886,7 +886,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["window_tumbling_sliding"] = q_window_tumbling_sliding
     q["window_session"] = q_window_session
     q["ratelimit_admission"] = q_ratelimit_admission
-    q["metrics_by_source"] = q_metrics_by_source
+    # metrics_by_source rotated out in r6 for the CEP pattern row: a plain
+    # per-source GROUP BY count/sum/avg is a strict subset of the gated
+    # window_tumbling_sliding aggregation surface, and the listener half
+    # of the metrics story was never in the gated row anyway
+    # (test_observe_metrics_listener); full oracle equality kept by
+    # test_rotated_out_oracles via ENGINE_QUERIES_EXTRA.
     # cache HIT/MISS is driver-gated via the REAL stream (stream_cache_counts);
     # the batch analog q_cache_hit_miss stays pytest-covered, its slot now
     # gates the stream-stream invalidation join (north rule 'stateful join')
@@ -912,7 +917,6 @@ def oracle_sql() -> dict[str, str]:
     o["window_tumbling_sliding"] = SQL_WINDOW_TUMBLING_SLIDING
     o["window_session"] = SQL_WINDOW_SESSION
     o["ratelimit_admission"] = SQL_RATELIMIT_ADMISSION
-    o["metrics_by_source"] = SQL_METRICS_BY_SOURCE
     o["topk_longest"] = _sql_topk_longest()
     o["info"] = _sql_info()
     for name, (_fn, sql) in _pipeline_registry().items():
@@ -922,3 +926,11 @@ def oracle_sql() -> dict[str, str]:
         o[name] = oracle_transform_sql(chain, digest_tokens=True)
     o["op_edge_encode"] = _sql_edge_encode()
     return o
+
+
+# Rotated out of the driver's 50-slot window in round 6 (slot given to
+# cep_pattern — see queries() comment); full Spark↔DuckDB equality kept
+# by tests/test_rotated_out_oracles.py.
+ENGINE_QUERIES_EXTRA = {
+    "metrics_by_source": (q_metrics_by_source, SQL_METRICS_BY_SOURCE),
+}

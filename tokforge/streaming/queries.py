@@ -471,8 +471,73 @@ LEFT JOIN win w ON w.doc_id = i.doc_id AND w.ts = i.ts AND w.rn = 1"""
 SQL_STREAM_LSH_DEDUP = _sql_stream_lsh_dedup()
 
 
+# ---------------------------------------------------------------------------
+# CEP sequence pattern — the gated BATCH FACE of streaming/patterns.py
+# (the streaming face is asserted equal to it, incl. cross-micro-batch
+# matches and reordering, by tests/test_streaming_patterns.py).
+# ---------------------------------------------------------------------------
+
+_CEP_PATTERN = ("S", "*", "L")
+_CEP_WITHIN_S = 600
+
+
+def _cep_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Request stream classified into a content-keyed 3-symbol alphabet
+    (tokens[0] % 3 — varies within every source, unlike n_tok, which the
+    fixture aliases with source)."""
+    req = requests_df(spark, sf_dir, _CHAIN)
+    t0 = F.element_at("tokens", 1) % 3
+    return req.withColumn(
+        "event",
+        F.when(t0 == 0, F.lit("S")).when(t0 == 1, F.lit("M")).otherwise(F.lit("L")),
+    ).select("source", "doc_id", "event", "ts")
+
+
+def q_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style contiguous pattern S,*,L WITHIN 600 s per
+    source over the (ts, doc_id) event order — overlapping matches, one
+    row per match (streaming/patterns.py detect_pattern_batch: one hash
+    exchange + ONE Window node carrying all the leads)."""
+    from tokforge.streaming.patterns import detect_pattern_batch
+
+    m = detect_pattern_batch(
+        _cep_events(spark, sf_dir), list(_CEP_PATTERN), _CEP_WITHIN_S
+    )
+    return m.select(
+        "key",
+        F.unix_timestamp("start_ts").alias("start_ts_s"),
+        F.unix_timestamp("end_ts").alias("end_ts_s"),
+        "first_id",
+        "last_id",
+    )
+
+
+def _sql_cep_pattern() -> str:
+    from tokforge.streaming.patterns import sql_detect_pattern
+
+    inner = sql_detect_pattern(list(_CEP_PATTERN), _CEP_WITHIN_S, "ev")
+    return f"""WITH {sql_requests_cte()},
+ev AS (
+  SELECT source, doc_id, ts,
+         CASE WHEN tokens[1] % 3 = 0 THEN 'S'
+              WHEN tokens[1] % 3 = 1 THEN 'M'
+              ELSE 'L' END AS event
+  FROM req
+),
+m AS ({inner})
+SELECT key,
+       CAST(epoch(start_ts) AS BIGINT) AS start_ts_s,
+       CAST(epoch(end_ts) AS BIGINT) AS end_ts_s,
+       first_id, last_id
+FROM m"""
+
+
+SQL_CEP_PATTERN = _sql_cep_pattern()
+
+
 STREAMING_QUERIES = {
     "stream_cache_counts": (q_stream_cache_counts, SQL_STREAM_CACHE_COUNTS),
+    "cep_pattern": (q_cep_pattern, SQL_CEP_PATTERN),
     "stream_lsh_dedup": (q_stream_lsh_dedup, SQL_STREAM_LSH_DEDUP),
     "stream_info_cache": (q_stream_info_cache, SQL_STREAM_INFO_CACHE),
     "stream_ratelimit": (q_stream_ratelimit, SQL_STREAM_RATELIMIT),
