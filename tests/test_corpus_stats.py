@@ -111,6 +111,16 @@ FROM oov"""
     assert all(0.0 <= rt <= 1.0 for _, _, _, rt in got)
 
 
+def test_oov_stats_explicit_vocab(spark):
+    # passing a precomputed vocab DataFrame gives the same result as the
+    # internal build (and allows scoring against a foreign vocabulary)
+    req = requests_df(spark, SF_SMALL, "stats")
+    vocab = vocab_top(req, V)
+    got = sorted(map(tuple, oov_stats(req, V, vocab=vocab).collect()))
+    want = sorted(map(tuple, oov_stats(req, V).collect()))
+    assert got == want
+
+
 def test_length_quantiles_matches_duckdb(spark):
     req = requests_df(spark, SF_SMALL, "stats")
     qs = (0.5, 0.9, 0.99, 1.0)

@@ -94,7 +94,7 @@ def vocab_top(req: DataFrame, v: int) -> DataFrame:
     )
 
 
-def oov_stats(req: DataFrame, v: int) -> DataFrame:
+def oov_stats(req: DataFrame, v: int, vocab: DataFrame | None = None) -> DataFrame:
     """Per-document out-of-vocabulary stats against the top-``v`` vocab:
     (doc_id, n_tok, oov_cnt, oov_rate).
 
@@ -103,10 +103,16 @@ def oov_stats(req: DataFrame, v: int) -> DataFrame:
     and ships to executors in the task closure.  The corpus pass is one
     narrow ``np.isin``; the rate division stays JVM-side for exact SQL
     mirroring (CAST AS DOUBLE, round 6).
+
+    ``vocab`` (any DataFrame with a ``token`` column, e.g. a persisted
+    ``vocab_top`` result) skips the internal vocabulary build — pass it
+    when scoring several corpora against one vocabulary.
     """
     import pyarrow as pa
 
-    vocab_rows = vocab_top(req, v).select("token").collect()
+    vocab_rows = (vocab if vocab is not None else vocab_top(req, v)).select(
+        "token"
+    ).collect()
     vocab_arr = np.sort(np.array([r["token"] for r in vocab_rows], dtype=np.int64))
 
     def fn(batches):
