@@ -104,6 +104,32 @@ fmt(detect_pattern_batch(ev, ["0", "*", "2"], 600))
 + "\n\n--- absence ---\n\n"
 + fmt(detect_absence_batch(ev, "0", "2", 600))))
 
+from tokforge.pipeline.bpe import pair_counts
+sections.append(("BPE pair-count argmax (one training round's reduction)",
+"""What to check: `MapInArrow` feeds a PARTIAL `HashAggregate` before
+the pair-keyed `Exchange` (the Arrow pass already pre-aggregated per
+batch, the JVM adds map-side combine on top — shuffle volume is the
+pair vocabulary, not corpus tokens), and the argmax is
+`TakeOrderedAndProject` with limit 1 — no full sort anywhere.""",
+fmt(pair_counts(req).orderBy(F.desc("cnt"), F.asc("tok_a"), F.asc("tok_b")).limit(1))))
+
+from tokforge.pipeline.stats import length_quantiles
+sections.append(("length_quantiles (exact, corpus never sorted)",
+"""What to check: the only corpus-wide operation is the two-phase
+count aggregate on (source, n_tok); the `Sort`/`Window` pair runs on
+the DISTINCT-VALUE table after it, and the quantile fractions arrive
+via `BroadcastNestedLoopJoin` of a literal 3-row side.  Volume
+evidence in BENCH.md: same ~2.2 s wall at 49k and 31.5M tokens.""",
+fmt(length_quantiles(req))))
+
+from tokforge.pipeline.corrupt import span_corrupt_arrow
+sections.append(("span_corrupt_arrow (objective construction is map-only)",
+"""What to check: the whole op is Scan -> Project -> ONE `MapInArrow`
+— zero `Exchange`, zero aggregation.  The mask derives from integer
+hash math over (doc_id, block, seed), so task retry/speculation
+regenerates identical rows with no stored state.""",
+fmt(span_corrupt_arrow(req))))
+
 with open('/root/repo/docs/PLANS.md', 'w') as f:
     f.write("""# Physical plans of the headline queries (evidence, not intention)
 
