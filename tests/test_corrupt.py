@@ -142,6 +142,28 @@ def test_seed_changes_mask(spark):
     assert a != b, "a new seed gives a new epoch mask"
 
 
+def test_param_fuzz_both_faces(spark):
+    """Random corpora under a parameter grid (block=1 token-level masking,
+    odd block sizes, near-0/near-1 densities, different seeds): both faces
+    match the pure-Python reference exactly."""
+    import random
+
+    rng = random.Random(60606)
+    rows = [
+        (str(i), [rng.randrange(50257) for _ in range(rng.randrange(0, 30))])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    for block, millis, seed in [(1, 500, 9), (3, 137, 5), (16, 999, 0), (5, 1, 2)]:
+        want = sorted(
+            (d, len(t), *py_corrupt(int(d), t, block=block, millis=millis, seed=seed))
+            for d, t in rows
+        )
+        for face in (span_corrupt, span_corrupt_arrow):
+            got = _rows(face(df, block=block, millis=millis, seed=seed))
+            assert got == want, (face.__name__, block, millis, seed)
+
+
 def test_rejects_bad_params(spark):
     req = requests_df(spark, SF_SMALL, "corrupt")
     for face in (span_corrupt, span_corrupt_arrow):

@@ -237,3 +237,58 @@ def test_cep_batch_faces_single_window_single_exchange(spark):
         assert plan.count("Window") == 1, plan
         assert plan.count("Exchange") <= 2, plan  # hash + AQE read at most
         assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_bpe_pair_count_argmax_shape(spark):
+    """The training round's reduction must show (a) a PARTIAL aggregate
+    between MapInArrow and the pair-keyed Exchange (batch-local numpy
+    pre-agg + JVM map-side combine -> shuffle bounded by the pair
+    vocabulary) and (b) TakeOrderedAndProject for the argmax — never a
+    global Sort."""
+    from tokforge.pipeline.bpe import pair_counts
+
+    req = requests_df(spark, SF_SMALL, "crop:4:0/format:png")
+    top1 = (
+        pair_counts(req)
+        .orderBy(F.desc("cnt"), F.asc("tok_a"), F.asc("tok_b"))
+        .limit(1)
+    )
+    plan = plan_of(top1)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "MapInArrow" in plan, plan
+    # exactly one shuffle (the pair-keyed one); partial agg sits below it
+    assert plan.count("Exchange") == 1, plan
+    before_exchange = plan[: plan.index("Exchange")]
+    assert "HashAggregate" in before_exchange, plan
+    assert "Sort " not in plan, plan
+
+
+def test_span_corrupt_arrow_is_map_only(spark):
+    """Objective construction is a narrow pass: no Exchange, no
+    aggregation, one MapInArrow."""
+    from tokforge.pipeline.corrupt import span_corrupt_arrow
+
+    req = requests_df(spark, SF_SMALL, "crop:4:0/format:png")
+    plan = plan_of(span_corrupt_arrow(req))
+    assert "Exchange" not in plan, plan
+    assert "Aggregate" not in plan, plan
+    assert plan.count("MapInArrow") == 1, plan
+
+
+def test_length_quantiles_window_runs_on_aggregate(spark):
+    """The corpus-wide work is ONE two-phase count aggregate; the
+    Sort/Window pair operates on the distinct-(source, n_tok) table
+    AFTER it, and the quantile fractions broadcast."""
+    from tokforge.pipeline.stats import length_quantiles
+
+    req = requests_df(spark, SF_SMALL, "crop:4:0/format:png")
+    plan = plan_of(length_quantiles(req))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    # exactly ONE Sort, and its input subtree (plan prints root-first, so
+    # the child appears AFTER it) contains the count aggregate — the Sort
+    # orders the aggregated distinct-value table, never the corpus
+    assert plan.count("Sort ") == 1, plan
+    assert "HashAggregate" in plan[plan.index("Sort ") :], plan
+    # two hash shuffles total: (source, n_tok) for the count, (source)
+    # for the window — nothing else moves corpus-derived rows
+    assert plan.count("Exchange hashpartitioning") == 2, plan
