@@ -215,6 +215,25 @@ def test_train_batched_disjoint(spark, tmp_path):
     assert _collect_tokens(got_corpus) == want_corpus
 
 
+def test_apply_expand_roundtrip(spark, tmp_path):
+    from tokforge.pipeline.bpe import expand_bpe
+
+    rng = random.Random(21)
+    corpus = _synth_corpus(rng, n_docs=20, alpha=6, max_len=40)
+    merges, _ = train_bpe(
+        _spark_corpus(spark, corpus), n_merges=10, batch_size=4,
+        scratch_dir=str(tmp_path),
+    )
+    assert merges, "trainer learned something on a repetitive corpus"
+    enc = apply_bpe(_spark_corpus(spark, corpus), merges)
+    enc_tokens = _collect_tokens(enc)
+    assert enc_tokens != corpus, "encoding actually changed the corpus"
+    dec = expand_bpe(_spark_corpus(spark, {k: v for k, v in enc_tokens.items()}), merges)
+    assert _collect_tokens(dec) == corpus
+    # expansion of the RAW corpus is identity: no minted ids present
+    assert _collect_tokens(expand_bpe(_spark_corpus(spark, corpus), merges)) == corpus
+
+
 def test_train_stops_below_min_count(spark, tmp_path):
     # all-distinct tokens: no pair ever repeats, trainer learns nothing
     corpus = {"0": [1, 2, 3, 4], "1": [5, 6, 7, 8]}

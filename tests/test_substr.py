@@ -255,6 +255,69 @@ FROM g"""
     assert got_rep == want_rep
 
 
+def py_remove(t, spans):
+    covered = set()
+    for s, ln in spans:
+        covered.update(range(max(s, 0), min(s + ln, len(t))))
+    return [x for i, x in enumerate(t) if i not in covered]
+
+
+def test_remove_spans_python_parity(spark):
+    from tokforge.pipeline.substr import remove_spans
+
+    corpus = {
+        "a": list(range(100, 120)),
+        "b": list(range(200, 210)),
+        "c": list(range(300, 315)),  # no spans: must pass through
+    }
+    span_rows = [
+        ("a", 2, 5),
+        ("a", 4, 6),  # overlaps the first
+        ("a", 18, 10),  # runs past the end: clamped
+        ("b", 0, 10),  # removes the whole doc
+    ]
+    spans = spark.createDataFrame(
+        span_rows, "doc_id string, span_start long, span_len long"
+    )
+    got = {
+        r["doc_id"]: list(r["tokens"])
+        for r in remove_spans(_df(spark, corpus), spans).collect()
+    }
+    want = {
+        d: py_remove(t, [(s, ln) for dd, s, ln in span_rows if dd == d])
+        for d, t in corpus.items()
+    }
+    assert got == want
+    assert got["c"] == corpus["c"]
+    assert got["b"] == []
+
+
+def test_remove_detected_spans_composition(spark):
+    """Detection feeds removal: cutting every detected span from the
+    crafted shared-passage corpus removes exactly the flagged tokens."""
+    from tokforge.pipeline.substr import remove_spans
+
+    passage = [100, 101, 102, 103, 104, 105, 106, 107]
+    corpus = {
+        "a": [1, 2, 3] + passage + [4, 5],
+        "b": [9, 8] + passage + [7],
+        "c": [20, 21, 22, 23, 24, 25, 26, 27, 28, 29],
+    }
+    df = _df(spark, corpus)
+    spans = duplicate_spans(df, k=K, min_count=MC)
+    got = {
+        r["doc_id"]: list(r["tokens"])
+        for r in remove_spans(df, spans).collect()
+    }
+    want = {
+        d: py_remove(t, [(s, ln) for s, _, ln in py_spans(corpus, K, MC)[d]])
+        for d, t in corpus.items()
+    }
+    assert got == want
+    assert got["a"] == [1, 2, 3, 4, 5] and got["b"] == [9, 8, 7]
+    assert got["c"] == corpus["c"]
+
+
 def test_rejects_bad_params(spark):
     req = requests_df(spark, SF_SMALL, "substr")
     with pytest.raises(ValueError):

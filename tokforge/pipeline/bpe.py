@@ -183,6 +183,67 @@ def _rewrite_corpus(req: DataFrame, pairs: list) -> DataFrame:
     return req.select("doc_id", "tokens").mapInArrow(fn, _TOKENS_SCHEMA)
 
 
+def _expand_flat(values, rowmap, a: int, b: int, nid: int):
+    """Replace every ``nid`` with the pair (a, b) — one vectorized
+    repeat/scatter pass (the inverse of _merge_flat for one merge)."""
+    hit = values == nid
+    if not hit.any():
+        return values, rowmap
+    counts = np.where(hit, 2, 1)
+    rep = np.repeat(np.arange(len(values), dtype=np.int64), counts)
+    out = values[rep]
+    occ = np.arange(len(rep), dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(counts)[:-1])), counts
+    )
+    first = hit[rep] & (occ == 0)
+    out[first] = a
+    out[hit[rep] & (occ == 1)] = b
+    return out, rowmap[rep]
+
+
+def expand_bpe(req: DataFrame, merges: Iterable[dict]) -> DataFrame:
+    """Decode a BPE-encoded corpus back to base tokens: merges applied
+    in REVERSE rank order, each expanding its minted id into its pair.
+    Exact inverse of :func:`apply_bpe` (roundtrip asserted in
+    tests/test_bpe.py) because minted ids are fresh — no base token can
+    collide with a merge id, so expansion order within one rank is
+    irrelevant and later merges (whose pairs may contain earlier minted
+    ids) unwind first.  One narrow pass, same shape as apply."""
+    import pyarrow as pa
+
+    table = [
+        (int(m["tok_a"]), int(m["tok_b"]), int(m["new_id"]))
+        for m in sorted(merges, key=lambda m: m["rank"], reverse=True)
+    ]
+    req = req.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("tokens").cast("array<int>").alias("tokens"),
+    )
+
+    def fn(batches):
+        for batch in batches:
+            values, rowmap, _ = _flat_tokens(batch)
+            m = batch.num_rows
+            for a, b, nid in table:
+                values, rowmap = _expand_flat(values, rowmap, a, b, nid)
+            new_len = (
+                np.bincount(rowmap, minlength=m)
+                if len(rowmap)
+                else np.zeros(m, dtype=np.int64)
+            )
+            offs = np.zeros(m + 1, dtype=np.int64)
+            np.cumsum(new_len, out=offs[1:])
+            arr = pa.ListArray.from_arrays(
+                pa.array(offs.astype(np.int32), type=pa.int32()),
+                pa.array(values.astype(np.int32), type=pa.int32()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), arr], ["doc_id", "tokens"]
+            )
+
+    return req.select("doc_id", "tokens").mapInArrow(fn, _TOKENS_SCHEMA)
+
+
 def train_bpe(
     req: DataFrame,
     n_merges: int,

@@ -233,6 +233,87 @@ def repetition_stats(req: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def remove_spans(req: DataFrame, spans: DataFrame) -> DataFrame:
+    """Cut token ranges out of the corpus: (doc_id, tokens) with every
+    [span_start, span_start + span_len) range deleted — the EDIT action
+    the span detectors feed (Lee et al. remove the duplicated text;
+    which spans to cut — all, all-but-one occurrence, above a coverage
+    threshold — is the caller's policy, expressed as the ``spans``
+    DataFrame it passes in).
+
+    Shape: spans aggregate to one (starts, lens) pair of arrays per doc
+    (map-side combinable), join the corpus on doc_id (the spans side is
+    small whenever dup coverage is — AQE broadcasts it), then ONE narrow
+    Arrow pass deletes the ranges with a vectorized difference-array
+    mask.  Docs without spans pass through untouched via the left join.
+    Overlapping spans are handled (coverage counts, not toggles).
+    """
+    import pyarrow as pa
+
+    agg = spans.groupBy(F.col("doc_id").cast("string").alias("doc_id")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").cast("long").alias("s"),
+                F.col("span_len").cast("long").alias("l"),
+            )
+        ).alias("spans")
+    )
+    joined = req.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "tokens"
+    ).join(agg, "doc_id", "left")
+
+    def fn(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            values, rowmap, lengths = _flat_tokens(batch)
+            m = batch.num_rows
+            starts_all = np.zeros(m + 1, dtype=np.int64)
+            np.cumsum(lengths, out=starts_all[1:])
+            # difference-array coverage over the flat buffer: +1 at each
+            # span start, -1 past its end (clamped to the row), cumsum > 0
+            # marks deleted positions; overlaps just deepen the count
+            diff = np.zeros(len(values) + 1, dtype=np.int64)
+            sp = batch.column("spans")
+            if isinstance(sp, pa.ChunkedArray):
+                sp = sp.combine_chunks()
+            counts = (
+                pc.fill_null(pc.list_value_length(sp), 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            flat = sp.flatten()  # drops null rows; aligned with counts==0
+            if len(flat):
+                sp_rows = np.repeat(np.arange(m, dtype=np.int64), counts)
+                st = flat.field("s").to_numpy(zero_copy_only=False).astype(np.int64)
+                ln = flat.field("l").to_numpy(zero_copy_only=False).astype(np.int64)
+                row_n = lengths[sp_rows]
+                a = np.clip(st, 0, row_n) + starts_all[sp_rows]
+                b = np.clip(st + ln, 0, row_n) + starts_all[sp_rows]
+                np.add.at(diff, a, 1)
+                np.add.at(diff, b, -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            keep = ~covered
+            out_v = values[keep]
+            out_rm = rowmap[keep]
+            new_len = (
+                np.bincount(out_rm, minlength=m)
+                if len(out_rm)
+                else np.zeros(m, dtype=np.int64)
+            )
+            offs = np.zeros(m + 1, dtype=np.int64)
+            np.cumsum(new_len, out=offs[1:])
+            arr = pa.ListArray.from_arrays(
+                pa.array(offs.astype(np.int32), type=pa.int32()),
+                pa.array(out_v.astype(np.int32), type=pa.int32()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), arr], ["doc_id", "tokens"]
+            )
+
+    return joined.mapInArrow(fn, "doc_id string, tokens array<int>")
+
+
 def sql_kgram_fold(k: int) -> str:
     """DuckDB twin of the rolling hash for one gram starting at 0-based
     list offset ``s`` (DuckDB lists are 1-based)."""
