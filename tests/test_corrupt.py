@@ -79,7 +79,6 @@ def test_column_face_matches_python(spark):
     )
     assert got == want
     assert any(nm > 0 for _, _, nm, _, _ in got), "mask density actually fires"
-    assert any(nm == 0 for _, _, nm, _, _ in got) or True
 
 
 def test_arrow_face_identical(spark):
