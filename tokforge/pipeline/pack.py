@@ -114,6 +114,7 @@ def emit_chunks(
     id_col: str = "doc_id",
     text_col: str = "text",
     bucketed: bool = True,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Materialize the packed training sequences: per (stratum, chunk_id),
     the actual ``tokens`` array of length ``seq_len`` (the final chunk of
@@ -132,10 +133,23 @@ def emit_chunks(
     unique per doc within a stratum, so the order is total.
 
     Gap-free tiling vs the map and a DuckDB mirror digest are asserted by
-    tests/test_pack.py."""
+    tests/test_pack.py.
+
+    ``tokens_col`` packs an int-token ARRAY column directly instead of
+    whitespace-splitting ``text_col`` — the same algebra is type-generic,
+    so the emitted chunks are real training sequences ready for the
+    objective-construction stage (pipeline/corrupt.py), asserted end to
+    end by tests/test_pack_corrupt.py."""
     fn = pack_sequences_bucketed if bucketed else pack_sequences
-    mapped = fn(docs, seq_len, stratum_col, id_col=id_col)
-    toks = F.split(F.col(text_col), " ")
+    if tokens_col is not None:
+        mapped = fn(
+            docs, seq_len, stratum_col,
+            weight=F.size(tokens_col).cast("long"), id_col=id_col,
+        )
+        toks = F.col(tokens_col)
+    else:
+        mapped = fn(docs, seq_len, stratum_col, id_col=id_col)
+        toks = F.split(F.col(text_col), " ")
     per_chunk = (
         mapped.withColumn(
             "__chunk", F.explode(F.sequence("chunk_first", "chunk_last"))
