@@ -131,3 +131,51 @@ def q_budget_sample(
     docs = load_documents(spark, sf_dir)
     fn = budget_sample_bucketed if bucketed else budget_sample
     return fn(docs, budget).select("doc_id", "lang", "w", "cum")
+
+
+def hash_split(
+    docs: DataFrame,
+    val_frac: float,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/validation split: a document lands in ``val``
+    iff the first 8 hex digits of ``md5(salt || ':' || id)`` fall below
+    ``val_frac`` of the 32-bit space, compared as HEX STRINGS — equal
+    length lowercase hex compares exactly like the number it encodes, in
+    Spark and DuckDB alike, so no hex-to-int conversion (and no engine
+    divergence) is needed.
+
+    Properties (tests/test_split.py): no RNG state, independent of
+    partitioning and input order, stable across runs, and re-saltable —
+    a new ``salt`` draws an independent split without touching the data.
+    Expected val share is val_frac with binomial concentration per
+    stratum (md5 is uniform), so stratified balance needs no stratum
+    bookkeeping.  One narrow projection; zero shuffle.
+    """
+    if not (0.0 <= val_frac <= 1.0):
+        raise ValueError(f"val_frac must be in [0, 1], got {val_frac}")
+    thr = format(min(int(val_frac * 2**32), 2**32 - 1), "08x")
+    is_val = F.lit(val_frac >= 1.0) | (
+        (
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
+                1,
+                8,
+            )
+            < F.lit(thr)
+        )
+        & F.lit(val_frac > 0.0)
+    )
+    return docs.withColumn("split", F.when(is_val, "val").otherwise("train"))
+
+
+def sql_hash_split(val_frac: float, id_col: str = "doc_id", salt: str = "split") -> str:
+    """DuckDB twin of the split predicate, as a SELECT-able expression."""
+    thr = format(min(int(val_frac * 2**32), 2**32 - 1), "08x")
+    guard = "TRUE" if val_frac > 0.0 else "FALSE"
+    always = "TRUE" if val_frac >= 1.0 else "FALSE"
+    return (
+        f"CASE WHEN {always} OR (substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)), 1, 8)"
+        f" < '{thr}' AND {guard}) THEN 'val' ELSE 'train' END"
+    )
