@@ -292,3 +292,16 @@ def test_length_quantiles_window_runs_on_aggregate(spark):
     # two hash shuffles total: (source, n_tok) for the count, (source)
     # for the window — nothing else moves corpus-derived rows
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_repetition_stats_is_map_only(spark):
+    """The Gopher-style intra-doc repetition filter is one narrow Arrow
+    pass: no Exchange, no aggregation, per-row distinct counting stays
+    inside the batch."""
+    from tokforge.pipeline.substr import repetition_stats
+
+    req = requests_df(spark, SF_SMALL, "crop:4:0/format:png")
+    plan = plan_of(repetition_stats(req, k=3))
+    assert "Exchange" not in plan, plan
+    assert "Aggregate" not in plan, plan
+    assert plan.count("MapInArrow") == 1, plan
