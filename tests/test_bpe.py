@@ -242,3 +242,22 @@ def test_train_stops_below_min_count(spark, tmp_path):
     )
     assert merges == []
     assert _collect_tokens(out) == corpus
+
+
+def test_pair_base_guard(spark):
+    """Round-7 guard: minted ids must stay below PAIR_BASE or pair codes
+    collide — train_bpe refuses up front, pair_counts refuses on data."""
+    import pytest
+    from tokforge.constants import VOCAB
+    from tokforge.pipeline.bpe import PAIR_BASE, pair_counts, train_bpe
+
+    df = spark.createDataFrame(
+        [("d", [1, 2, 3])], "doc_id string, tokens array<int>"
+    )
+    with pytest.raises(ValueError, match="PAIR_BASE"):
+        train_bpe(df, n_merges=PAIR_BASE - VOCAB + 1)
+    bad = spark.createDataFrame(
+        [("d", [PAIR_BASE, 1])], "doc_id string, tokens array<int>"
+    )
+    with pytest.raises(Exception, match="PAIR_BASE"):
+        pair_counts(bad).collect()

@@ -182,3 +182,30 @@ def test_emit_chunks_bucketed_equals_reference_and_oracle(spark):
     )
     want = sorted(tuple(r) for r in con.execute(SQL_PACK_CHUNKS).fetchall())
     assert got == want
+
+
+def test_emit_chunks_zero_weight_docs_emit_nothing(spark):
+    """Round-7 guard: an empty tokens array whose cum_before is an exact
+    seq_len multiple must NOT mint a spurious empty chunk (F.sequence
+    would step DOWN from chunk_first to chunk_first-1).  A stratum of
+    only empty docs emits zero chunks; mixed strata equal the result of
+    pre-filtering the empties."""
+    from tokforge.pipeline.pack import emit_chunks
+
+    rows = [
+        ("z1", "zz", []),
+        ("z2", "zz", []),
+        ("a1", "aa", [1, 2, 3, 4, 5]),
+        ("a2", "aa", []),
+        ("a3", "aa", [6, 7, 8]),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, lang string, tokens array<int>")
+    got = emit_chunks(docs, 4, tokens_col="tokens").collect()
+    assert not [r for r in got if r["lang"] == "zz"]
+    want = emit_chunks(docs.filter(F.size("tokens") > 0), 4, tokens_col="tokens").collect()
+    key = lambda r: (r["lang"], r["chunk_id"])
+    assert sorted((r["lang"], r["chunk_id"], r["tokens"], r["n_fill"]) for r in got) == sorted(
+        (r["lang"], r["chunk_id"], r["tokens"], r["n_fill"]) for r in want
+    )
+    # total tokens preserved
+    assert sum(r["n_fill"] for r in got) == 8

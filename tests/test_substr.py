@@ -53,11 +53,28 @@ def py_spans(corpus, k, min_count, stride=1):
         ]
         runs = []
         for p in marked:
-            if runs and p == runs[-1][1] + 1:
+            if runs and p == runs[-1][1] + stride:
                 runs[-1][1] = p
             else:
                 runs.append([p, p])
-        out[d] = sorted((a, b - a + 1, b - a + k) for a, b in runs)
+        out[d] = sorted(
+            (a, (b - a) // stride + 1, b - a + k) for a, b in runs
+        )
+    return out
+
+
+def py_coverage_intervals(corpus, k, min_count, stride=1):
+    spans = py_spans(corpus, k, min_count, stride)
+    out = {}
+    for d in corpus:
+        ivs = sorted((s, s + ln - 1) for s, _, ln in spans[d])
+        merged = []
+        for a, b in ivs:
+            if merged and a <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], b)
+            else:
+                merged.append([a, b])
+        out[d] = merged
     return out
 
 
@@ -177,6 +194,34 @@ def test_stride_sampling(spark):
     }
     got = _spans_rows(duplicate_spans(_df(spark, corpus), k=K, min_count=2, stride=3))
     assert got == {d: s for d, s in py_spans(corpus, K, 2, stride=3).items() if s}
+    # Sampled runs MERGE (the round-7 fix): with a long duplicated block,
+    # stride=3 must report one span, not per-position k-length singletons.
+    block = [1, 2, 3, 4] * 6
+    two = {"x": block + [0] + block, "y": block}
+    spans3 = _spans_rows(duplicate_spans(_df(spark, two), k=K, min_count=2, stride=3))
+    # y = 24 tokens, grams 0..20 all duplicated, sampled 0,3,..,18:
+    # ONE merged span of 7 samples covering 18 + K tokens.
+    assert spans3["y"] == [(0, 7, 18 + K)]
+    assert len(spans3["x"]) == 2  # the '0' separator splits the runs
+
+
+def test_stride_span_containment(spark):
+    # stride <= k => every stride>1 span lies inside a stride=1 merged
+    # coverage interval (each sampled gram is genuinely duplicated and
+    # adjacent sampled grams abut/overlap in token space).
+    rng = random.Random(99)
+    corpus = {
+        str(i): [rng.randrange(4) for _ in range(50)] for i in range(12)
+    }
+    df = _df(spark, corpus)
+    base = py_coverage_intervals(corpus, K, 2)
+    for d, spans in _spans_rows(
+        duplicate_spans(df, k=K, min_count=2, stride=3)
+    ).items():
+        for s, _, ln in spans:
+            assert any(a <= s and s + ln - 1 <= b for a, b in base[d]), (
+                d, s, ln, base[d],
+            )
 
 
 def test_matches_duckdb_mirror_fixture(spark):

@@ -94,6 +94,11 @@ def pair_counts(req: DataFrame) -> DataFrame:
     def fn(batches):
         for batch in batches:
             values, rowmap, _ = _flat_tokens(batch)
+            if len(values) and int(values.max()) >= PAIR_BASE:
+                raise ValueError(
+                    f"token id {int(values.max())} >= PAIR_BASE ({PAIR_BASE}); "
+                    "pair codes would collide"
+                )
             if len(values) >= 2:
                 adj = rowmap[:-1] == rowmap[1:]
                 codes = values[:-1][adj] * PAIR_BASE + values[1:][adj]
@@ -271,6 +276,11 @@ def train_bpe(
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     if batch_size < 1:
         raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    if VOCAB + n_merges > PAIR_BASE:
+        raise ValueError(
+            f"VOCAB + n_merges = {VOCAB + n_merges} exceeds PAIR_BASE "
+            f"({PAIR_BASE}): minted ids would collide in pair codes"
+        )
     scratch = tempfile.mkdtemp(
         prefix="tokforge-bpe-",
         dir=scratch_dir or os.environ.get("TOKFORGE_SCRATCH_DIR") or None,

@@ -151,7 +151,13 @@ def emit_chunks(
         mapped = fn(docs, seq_len, stratum_col, id_col=id_col)
         toks = F.split(F.col(text_col), " ")
     per_chunk = (
-        mapped.withColumn(
+        # Zero-weight docs (empty tokens_col array) contribute nothing to
+        # any chunk; worse, one whose cum_before is an exact seq_len
+        # multiple gets chunk_last = chunk_first - 1 and F.sequence would
+        # step DOWN to a spurious 2-element range, minting an empty chunk
+        # group the mirror doesn't have.  Drop them before the explode.
+        mapped.filter(F.col("w") > 0)
+        .withColumn(
             "__chunk", F.explode(F.sequence("chunk_first", "chunk_last"))
         )
         # the doc's local token range [lo, hi) that lands in this chunk

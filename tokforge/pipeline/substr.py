@@ -127,8 +127,17 @@ def duplicate_spans(
     req: DataFrame, k: int = 8, min_count: int = 2, stride: int = 1
 ) -> DataFrame:
     """Maximal duplicated spans: (doc_id, span_start, n_pos, span_len).
-    A span of ``n_pos`` consecutive duplicated gram starts covers
-    ``n_pos + k - 1`` tokens."""
+    A run of ``n_pos`` consecutive duplicated gram starts (consecutive =
+    ``stride`` apart) covers ``(n_pos - 1) * stride + k`` tokens.
+
+    With ``stride`` > 1 the run is over SAMPLED positions: the island id
+    divides pos by stride first, so sampled runs still merge into one
+    maximal span (not n_pos singletons).  The merged span is gap-free in
+    token space whenever ``stride <= k`` (adjacent sampled grams overlap
+    or abut); with ``stride > k`` the span may bridge unexamined holes —
+    that is the documented recall trade of the knob.  Containment of the
+    stride=1 spans inside the stride>1 spans (at stride <= k) is pinned
+    by tests/test_substr.py."""
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
     dup = (
@@ -138,11 +147,14 @@ def duplicate_spans(
     )
     marked = kgram_positions(req, k, stride).join(dup, "g").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
-    runs = marked.withColumn("rid", F.col("pos") - F.row_number().over(w))
+    runs = marked.withColumn(
+        "rid",
+        (F.col("pos") / F.lit(stride)).cast("long") - F.row_number().over(w),
+    )
     return runs.groupBy("doc_id", "rid").agg(
         F.min("pos").cast("long").alias("span_start"),
         F.count("*").alias("n_pos"),
-        (F.count("*") + (k - 1)).alias("span_len"),
+        (F.max("pos") - F.min("pos") + k).cast("long").alias("span_len"),
     ).drop("rid")
 
 

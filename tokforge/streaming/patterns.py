@@ -222,7 +222,10 @@ def make_pattern_state_func(pattern: Sequence[str], within_s: int):
             for rows in pdf_iter:
                 if not len(rows):
                     continue
-                ts_ms = rows["ts"].astype("int64").to_numpy() // 1_000_000
+                # Unit-safe: go through datetime64[ms] so ns-, us- or
+                # ms-backed (incl. Arrow) timestamps all land in ms —
+                # a raw int64 view of a us-unit series would be 1000x off.
+                ts_ms = rows["ts"].to_numpy().astype("datetime64[ms]").astype(np.int64)
                 ids = rows["doc_id"].to_numpy(dtype=object)
                 evs = rows["event"].to_numpy(dtype=object)
                 pending.extend(
@@ -491,7 +494,7 @@ def make_absence_state_func(a: str, b: str, within_s: int):
             for rows in pdf_iter:
                 if not len(rows):
                     continue
-                ts_ms = rows["ts"].astype("int64").to_numpy() // 1_000_000
+                ts_ms = rows["ts"].to_numpy().astype("datetime64[ms]").astype(np.int64)
                 ids = rows["doc_id"].to_numpy(dtype=object)
                 evs = rows["event"].to_numpy(dtype=object)
                 pending.extend(
