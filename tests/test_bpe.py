@@ -261,3 +261,85 @@ def test_pair_base_guard(spark):
     )
     with pytest.raises(Exception, match="PAIR_BASE"):
         pair_counts(bad).collect()
+
+
+def _py_standard_encode(seq, table):
+    """Pure-Python standard BPE: repeat (lowest-rank pair present ->
+    replace left-to-right non-overlapping) until fixpoint."""
+    ranks = {(a, b): (r, nid) for r, (a, b, nid) in enumerate(table)}
+    while True:
+        best = None
+        for x, y in zip(seq, seq[1:]):
+            r = ranks.get((x, y))
+            if r is not None and (best is None or r[0] < best[0]):
+                best = (r[0], r[1], x, y)
+        if best is None:
+            return seq
+        _, nid, x, y = best
+        out, i = [], 0
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == x and seq[i + 1] == y:
+                out.append(nid)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        seq = out
+
+
+def test_apply_bpe_noncausal_exact_path(spark):
+    """Verdict r6 item 4: on a non-causal imported table, rank-order
+    apply DIVERGES from standard BPE; apply_bpe must auto-detect and
+    take the exact path."""
+    from tokforge.pipeline.bpe import apply_bpe, is_causal_merge_table
+
+    Y, Z = 50258, 50259
+    noncausal = [
+        {"rank": 0, "tok_a": Y, "tok_b": 2, "new_id": Z},
+        {"rank": 1, "tok_a": 1, "tok_b": 1, "new_id": Y},
+    ]
+    assert not is_causal_merge_table(noncausal)
+    df = spark.createDataFrame([("d", [1, 1, 2])], "doc_id string, tokens array<int>")
+    # forced fast path shows the divergence the validator protects against
+    fast = apply_bpe(df, noncausal, exact=False).collect()[0]["tokens"]
+    assert fast == [Y, 2]
+    # auto path is exact: [1,1,2] -> [Y,2] -> [Z]
+    auto = apply_bpe(df, noncausal).collect()[0]["tokens"]
+    assert auto == [Z]
+
+    # fuzz: exact path == pure-python standard encoder on a random
+    # non-causal table over random docs
+    rng = random.Random(1234)
+    base = list(range(5))
+    table = [(1, 1, 60001), (60002, 2, 60003), (0, 60001, 60002), (2, 3, 60004)]
+    merges = [
+        {"rank": r, "tok_a": a, "tok_b": b, "new_id": n}
+        for r, (a, b, n) in enumerate(table)
+    ]
+    assert not is_causal_merge_table(merges)
+    docs = [
+        (str(i), [rng.choice(base) for _ in range(rng.randrange(0, 25))])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, tokens array<int>")
+    got = {r["doc_id"]: r["tokens"] for r in apply_bpe(df, merges).collect()}
+    for d, t in docs:
+        assert got[d] == _py_standard_encode(list(t), table), d
+
+
+def test_apply_bpe_causal_fast_equals_exact(spark):
+    """On a trained (causal) table the vectorized fast path and the
+    exact path agree — the equivalence the causality validator relies on."""
+    from tokforge.pipeline.bpe import apply_bpe, is_causal_merge_table, train_bpe
+
+    rng = random.Random(77)
+    docs = [
+        (str(i), [rng.choice([1, 2, 3, 4]) for _ in range(rng.randrange(2, 30))])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, tokens array<int>")
+    merges, _ = train_bpe(df, n_merges=6)
+    assert is_causal_merge_table(merges)
+    fast = {r["doc_id"]: r["tokens"] for r in apply_bpe(df, merges, exact=False).collect()}
+    exact = {r["doc_id"]: r["tokens"] for r in apply_bpe(df, merges, exact=True).collect()}
+    assert fast == exact

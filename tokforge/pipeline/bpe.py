@@ -333,47 +333,133 @@ def train_bpe(
     return merges, current
 
 
-def apply_bpe(req: DataFrame, merges: Iterable[dict]) -> DataFrame:
-    """Encode (doc_id, tokens) with a learned merge table.
+def is_causal_merge_table(merges: Iterable[dict]) -> bool:
+    """True iff every merge's inputs predate it: each ``tok_a``/``tok_b``
+    is either a base-vocab token or the ``new_id`` of a STRICTLY earlier
+    rank.  Tables produced by :func:`train_bpe` are causal by
+    construction; an imported table (e.g. a public tokenizer's merge
+    list re-ranked) may not be.
 
-    Merges are applied in rank order, each exhaustively left-to-right;
-    equivalent to lowest-rank-first iterative encoding for causal (i.e.
-    trained) tables.  One narrow pass; k vectorized sweeps of the flat
-    batch buffer per Arrow batch.  For tokenizer-production k (tens of
-    thousands of merges) an encoder would switch to a per-document
-    priority queue — the distributed shape (narrow map, broadcast
-    table) is the part that carries to 100 TB.
+    Why it matters: rank-order exhaustive application (the vectorized
+    fast path) equals standard lowest-rank-first BPE exactly when the
+    table is causal — a merge can only create NEW adjacencies involving
+    its own output token, so an already-passed earlier rank can become
+    applicable again only if its input contains a later rank's output,
+    which causality forbids.  Non-causal example where the two diverge:
+    ``r0: (Y, b) -> Z`` with ``r1: (a, a) -> Y`` — on ``[a, a, b]``
+    standard BPE yields ``[Z]``, rank-order yields ``[Y, b]``.
+    """
+    ordered = sorted(merges, key=lambda m: m["rank"])
+    minted: set[int] = {int(m["new_id"]) for m in ordered}
+    seen: set[int] = set()
+    for m in ordered:
+        for t in (int(m["tok_a"]), int(m["tok_b"])):
+            if t in minted and t not in seen:
+                return False
+        seen.add(int(m["new_id"]))
+    return True
+
+
+def _encode_standard(seq: list[int], ranks: dict) -> list[int]:
+    """Reference lowest-rank-first BPE encode of one document: repeat
+    (find lowest-rank pair present; replace its left-to-right
+    non-overlapping occurrences) until no merge applies.  Exact for ANY
+    merge table; O(len * merges-applied) — the per-document price of
+    exactness on non-causal tables."""
+    while True:
+        best = None
+        for x, y in zip(seq, seq[1:]):
+            r = ranks.get((x, y))
+            if r is not None and (best is None or r[0] < best[0]):
+                best = (r[0], r[1], x, y)
+        if best is None:
+            return seq
+        _, nid, x, y = best
+        out: list[int] = []
+        i = 0
+        n = len(seq)
+        while i < n:
+            if i + 1 < n and seq[i] == x and seq[i + 1] == y:
+                out.append(nid)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        seq = out
+
+
+def apply_bpe(
+    req: DataFrame, merges: Iterable[dict], exact: bool | None = None
+) -> DataFrame:
+    """Encode (doc_id, tokens) with a merge table, matching standard
+    lowest-rank-first BPE semantics on ANY table.
+
+    Two physical paths behind one semantic contract:
+
+    * causal table (every :func:`train_bpe` output — validated by
+      :func:`is_causal_merge_table`): merges applied in rank order, each
+      exhaustively left-to-right — k vectorized sweeps of the flat
+      Arrow batch buffer, provably equal to the standard encoder.
+    * non-causal table (imported, e.g. a public tokenizer's): the
+      vectorized rank-order result can diverge, so the encoder switches
+      to the exact per-document lowest-rank-first loop automatically.
+      ``exact=True`` forces this path; ``exact=False`` forces the fast
+      path (caller asserts causality at their own risk).
+
+    Either way it is one narrow mapInArrow pass with the merge table in
+    the task closure (broadcast-sized by construction) — the shape that
+    carries to 100 TB; only the per-batch kernel differs.
     """
     import pyarrow as pa
 
+    ordered = sorted(merges, key=lambda m: m["rank"])
     table = [
-        (int(m["tok_a"]), int(m["tok_b"]), int(m["new_id"]))
-        for m in sorted(merges, key=lambda m: m["rank"])
+        (int(m["tok_a"]), int(m["tok_b"]), int(m["new_id"])) for m in ordered
     ]
+    if exact is None:
+        exact = not is_causal_merge_table(ordered)
     req = req.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.col("tokens").cast("array<int>").alias("tokens"),
     )
 
-    def fn(batches):
+    def emit(batch, values, rowmap, m):
+        new_len = (
+            np.bincount(rowmap, minlength=m)
+            if len(rowmap)
+            else np.zeros(m, dtype=np.int64)
+        )
+        offs = np.zeros(m + 1, dtype=np.int64)
+        np.cumsum(new_len, out=offs[1:])
+        arr = pa.ListArray.from_arrays(
+            pa.array(offs.astype(np.int32), type=pa.int32()),
+            pa.array(values.astype(np.int32), type=pa.int32()),
+        )
+        return pa.RecordBatch.from_arrays(
+            [batch.column("doc_id"), arr], ["doc_id", "tokens"]
+        )
+
+    def fn_fast(batches):
         for batch in batches:
             values, rowmap, _ = _flat_tokens(batch)
-            m = batch.num_rows
             for pair in table:
                 values, rowmap = _merge_flat(values, rowmap, [pair])
-            new_len = (
-                np.bincount(rowmap, minlength=m)
-                if len(rowmap)
-                else np.zeros(m, dtype=np.int64)
-            )
-            offs = np.zeros(m + 1, dtype=np.int64)
-            np.cumsum(new_len, out=offs[1:])
-            arr = pa.ListArray.from_arrays(
-                pa.array(offs.astype(np.int32), type=pa.int32()),
-                pa.array(values.astype(np.int32), type=pa.int32()),
-            )
-            yield pa.RecordBatch.from_arrays(
-                [batch.column("doc_id"), arr], ["doc_id", "tokens"]
-            )
+            yield emit(batch, values, rowmap, batch.num_rows)
 
-    return req.select("doc_id", "tokens").mapInArrow(fn, _TOKENS_SCHEMA)
+    def fn_exact(batches):
+        ranks = {(a, b): (r, nid) for r, (a, b, nid) in enumerate(table)}
+        for batch in batches:
+            col = batch.column("tokens").to_pylist()
+            enc = [_encode_standard(list(t or []), ranks) for t in col]
+            values = np.fromiter(
+                (v for t in enc for v in t), dtype=np.int64
+            )
+            rowmap = np.repeat(
+                np.arange(len(enc), dtype=np.int64),
+                [len(t) for t in enc],
+            )
+            yield emit(batch, values, rowmap, batch.num_rows)
+
+    return req.select("doc_id", "tokens").mapInArrow(
+        fn_exact if exact else fn_fast, _TOKENS_SCHEMA
+    )
