@@ -15,10 +15,8 @@ from tokforge.pipeline.gate import (
     R_TOO_LONG,
     R_TOO_SHORT,
     quality_gate,
+    sql_quality_gate,
 )
-from tokforge.pipeline.substr import sql_kgram_fold
-from tokforge.pipeline.text import _sql_quality_score
-from tokforge.sources.requests import sql_requests_cte
 
 # thresholds chosen so the fixture exercises several bits at once
 PARAMS = dict(
@@ -28,52 +26,7 @@ PARAMS = dict(
 
 
 def _mirror_sql() -> str:
-    fold = sql_kgram_fold(PARAMS["rep_k"])
-    k = PARAMS["rep_k"]
-    v = PARAMS["vocab_v"]
-    return f"""WITH {sql_requests_cte()},
-q AS ({_sql_quality_score()}),
-rep AS (
-  SELECT doc_id,
-         round(CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE)
-               / greatest(len(gs), 1), 6) AS rep_ratio
-  FROM (SELECT doc_id,
-               list_transform(range(0, n_tok - {k} + 1), s -> {fold}) AS gs
-        FROM req)
-),
-freq AS (
-  SELECT t AS token, count(*) AS cnt
-  FROM (SELECT unnest(tokens) AS t FROM req) GROUP BY 1
-),
-ranked AS (
-  SELECT token, row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank
-  FROM freq
-),
-vocab AS (SELECT token FROM ranked WHERE rank <= {v}),
-tok AS (SELECT doc_id, unnest(tokens) AS t FROM req),
-oov AS (
-  SELECT doc_id,
-         round(CAST(count(*) FILTER (WHERE t NOT IN (SELECT token FROM vocab))
-                    AS DOUBLE) / greatest(count(*), 1), 6) AS oov_rate
-  FROM tok GROUP BY doc_id
-),
-gate AS (
-  SELECT r.doc_id, CAST(r.n_tok AS BIGINT) AS n_tok,
-         q.quality_score, rep.rep_ratio, oov.oov_rate,
-         CAST(CASE WHEN r.n_tok < {PARAMS['min_tok']} THEN 1 ELSE 0 END
-            + CASE WHEN r.n_tok > {PARAMS['max_tok']} THEN 2 ELSE 0 END
-            + CASE WHEN q.quality_score < {PARAMS['min_quality']} THEN 4 ELSE 0 END
-            + CASE WHEN rep.rep_ratio > {PARAMS['max_rep']} THEN 8 ELSE 0 END
-            + CASE WHEN oov.oov_rate > {PARAMS['max_oov']} THEN 16 ELSE 0 END
-            AS BIGINT) AS reasons
-  FROM req r
-  JOIN q ON q.doc_id = r.doc_num
-  JOIN rep ON rep.doc_id = r.doc_id
-  JOIN oov ON oov.doc_id = r.doc_id
-)
-SELECT doc_id, n_tok, quality_score, rep_ratio, oov_rate, reasons,
-       reasons = 0 AS keep
-FROM gate"""
+    return sql_quality_gate(**PARAMS)
 
 
 def test_gate_matches_composed_mirror(spark):

@@ -18,12 +18,14 @@ import pytest
 from tests.conftest import SF_SMALL
 from tokforge.engine.queries import ENGINE_QUERIES_EXTRA
 from tokforge.pipeline.dedup import DEDUP_QUERIES_EXTRA
+from tokforge.pipeline.multimodal import MULTIMODAL_QUERIES_EXTRA
 from tokforge.pipeline.similarity import SIMILARITY_QUERIES_EXTRA
 from tokforge.streaming.queries import STREAMING_QUERIES_EXTRA
 
 _ROTATED = {
     **ENGINE_QUERIES_EXTRA,
     **DEDUP_QUERIES_EXTRA,
+    **MULTIMODAL_QUERIES_EXTRA,
     **SIMILARITY_QUERIES_EXTRA,
     **STREAMING_QUERIES_EXTRA,
 }

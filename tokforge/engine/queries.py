@@ -53,13 +53,10 @@ OP_CHAINS: dict[str, str] = {
     # true windowed-sinc lanczos3 — the reference DEFAULT algorithm
     # (options.rs:567-610); distinct output from cubic (op_exif_zoom)
     "op_resize_force": "resize:force:80:0:1/ra:lanczos3/format:jpeg/quality:70",
-    "op_resize_auto_quality": "resize:auto:90/quality:30/format:avif",
     "op_size_min_dpr": "dpr:2.5/size:40/resizing_type:fill/min-width:120/ra:lanczos2/padding:3/format:png",
     "op_crop_gravity": "crop:40:0:ea/format:int32",
     "op_extend": "resize:fit:300:0:1:1/ra:nearest/extend:1:nowe/background:10:20:30/format:png",
-    "op_rotate_gif": "auto_rotate:false/rotate:270/format:gif",
     "op_exif_zoom": "zoom:1.5/ra:cubic/crop:24:0:ce/format:int64",  # auto_rotate on
-    "op_watermark_url": f"watermark:0.8:ce/watermark_url:{_WMU_B64}/format:png",
     # jpeg_options:1 = progressive scan layout (save.rs:84 interlace),
     # interacting with the max_bytes walk-down: the reorder changes run
     # structure, so the fit decision sees the progressive encoding
@@ -86,6 +83,22 @@ OP_CHAINS: dict[str, str] = {
         "flip:1:1/rotate:180/format:uint8"
     ),
     "op_edge_encode": "format_quality:jpeg:100:avif:40/format:jpeg",
+}
+
+# Rotated out of the driver window in round 7 — their slots gate the
+# tokenizer/corpus layer (pipeline.corpusops) and CEP absence.  Component
+# coverage stays gated elsewhere: the effect stack + background via
+# op_chain_flagship (blur/sharpen/pixelate/adjust/watermark/background in
+# one chain), rotate via op_edge_geometry (rotate:180) and the flagship
+# (rotate:90), watermark/watermark_url payload via op_chain_flagship +
+# the signed path_parse envelope, auto-quality via op_max_bytes' walk-down
+# (same quality-search kernel arm).  Full (query, oracle) equality for
+# each moved chain is asserted by tests/test_rotated_out_oracles.py via
+# ENGINE_QUERIES_EXTRA below.
+OP_CHAINS_ROTATED: dict[str, str] = {
+    "op_resize_auto_quality": "resize:auto:90/quality:30/format:avif",
+    "op_rotate_gif": "auto_rotate:false/rotate:270/format:gif",
+    "op_watermark_url": f"watermark:0.8:ce/watermark_url:{_WMU_B64}/format:png",
     "op_edge_effects": (
         "background:10:20:30/background_alpha:0.5/padding:2/blur:2/sharpen:0.5/"
         "pixelate:7/brightness:100/contrast:1.4/saturation:0.6/format:png"
@@ -856,6 +869,7 @@ FROM txout"""
 
 def _pipeline_registry():
     from tokforge.pipeline.assembly import ASSEMBLY_QUERIES
+    from tokforge.pipeline.corpusops import CORPUSOPS_QUERIES
     from tokforge.pipeline.dedup import DEDUP_QUERIES
     from tokforge.pipeline.multimodal import MULTIMODAL_QUERIES
     from tokforge.pipeline.similarity import SIMILARITY_QUERIES
@@ -866,6 +880,7 @@ def _pipeline_registry():
     merged.update(DEDUP_QUERIES)
     merged.update(SIMILARITY_QUERIES)
     merged.update(ASSEMBLY_QUERIES)
+    merged.update(CORPUSOPS_QUERIES)
     merged.update(TEXT_QUERIES)
     merged.update(MULTIMODAL_QUERIES)
     merged.update(STREAMING_QUERIES)
@@ -879,13 +894,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     q["sig_validate"] = q_sig_validate
     q["path_parse"] = q_path_parse
-    q["admission_expires"] = q_admission_expires
+    # admission_expires / window_session / ratelimit_admission rotated out
+    # in r7 for the tokenizer-layer rows: expires is one arm of the same
+    # status taxonomy still gated by admission_limits + admission_policy;
+    # session windows' burst-coalescing stays pytest-asserted and the
+    # windowing surface stays gated via window_tumbling_sliding; the rate
+    # limiter keeps its STREAMING gated row (stream_ratelimit, the
+    # recursive-CTE oracle).  Full oracle equality for all three kept by
+    # test_rotated_out_oracles (ENGINE_QUERIES_EXTRA).
     q["admission_limits"] = q_admission_limits
     q["admission_policy"] = q_admission_policy
     q["op_presets"] = q_presets
     q["window_tumbling_sliding"] = q_window_tumbling_sliding
-    q["window_session"] = q_window_session
-    q["ratelimit_admission"] = q_ratelimit_admission
     # metrics_by_source rotated out in r6 for the CEP pattern row: a plain
     # per-source GROUP BY count/sum/avg is a strict subset of the gated
     # window_tumbling_sliding aggregation surface, and the listener half
@@ -910,13 +930,10 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     o["sig_validate"] = SQL_SIG_VALIDATE
     o["path_parse"] = SQL_PATH_PARSE
-    o["admission_expires"] = SQL_ADMISSION_EXPIRES
     o["admission_limits"] = SQL_ADMISSION_LIMITS
     o["admission_policy"] = SQL_ADMISSION_POLICY
     o["op_presets"] = oracle_transform_sql(_PRESET_CHAIN, _PRESETS, digest_tokens=True)
     o["window_tumbling_sliding"] = SQL_WINDOW_TUMBLING_SLIDING
-    o["window_session"] = SQL_WINDOW_SESSION
-    o["ratelimit_admission"] = SQL_RATELIMIT_ADMISSION
     o["topk_longest"] = _sql_topk_longest()
     o["info"] = _sql_info()
     for name, (_fn, sql) in _pipeline_registry().items():
@@ -928,9 +945,17 @@ def oracle_sql() -> dict[str, str]:
     return o
 
 
-# Rotated out of the driver's 50-slot window in round 6 (slot given to
-# cep_pattern — see queries() comment); full Spark↔DuckDB equality kept
-# by tests/test_rotated_out_oracles.py.
+# Rotated out of the driver's 50-slot window (r6: metrics_by_source; r7:
+# the three admission/window/ratelimit rows and four op chains — see the
+# queries() / OP_CHAINS_ROTATED comments for the coverage argument); full
+# Spark↔DuckDB equality kept by tests/test_rotated_out_oracles.py.
 ENGINE_QUERIES_EXTRA = {
     "metrics_by_source": (q_metrics_by_source, SQL_METRICS_BY_SOURCE),
+    "admission_expires": (q_admission_expires, SQL_ADMISSION_EXPIRES),
+    "window_session": (q_window_session, SQL_WINDOW_SESSION),
+    "ratelimit_admission": (q_ratelimit_admission, SQL_RATELIMIT_ADMISSION),
+    **{
+        name: (_op_query(chain), oracle_transform_sql(chain, digest_tokens=True))
+        for name, chain in OP_CHAINS_ROTATED.items()
+    },
 }

@@ -85,3 +85,67 @@ def quality_gate(
         reasons.alias("reasons"),
         (reasons == 0).alias("keep"),
     )
+
+
+def sql_quality_gate(
+    *,
+    min_tok: int = 8,
+    max_tok: int = 1024,
+    min_quality: float = 0.3,
+    max_rep: float = 0.2,
+    max_oov: float = 0.995,
+    rep_k: int = 3,
+    vocab_v: int = 1024,
+) -> str:
+    """DuckDB twin of :func:`quality_gate`, composed from the SAME
+    component mirrors (quality score, k-gram repetition fold, top-V OOV)
+    — the single rendering shared by tests/test_gate.py and the gated
+    driver row."""
+    from tokforge.pipeline.substr import sql_kgram_fold
+    from tokforge.pipeline.text import _sql_quality_score  # noqa: PLC2701
+    from tokforge.sources.requests import sql_requests_cte
+
+    fold = sql_kgram_fold(rep_k)
+    return f"""WITH {sql_requests_cte()},
+q AS ({_sql_quality_score()}),
+rep AS (
+  SELECT doc_id,
+         round(CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE)
+               / greatest(len(gs), 1), 6) AS rep_ratio
+  FROM (SELECT doc_id,
+               list_transform(range(0, n_tok - {rep_k} + 1), s -> {fold}) AS gs
+        FROM req)
+),
+freq AS (
+  SELECT t AS token, count(*) AS cnt
+  FROM (SELECT unnest(tokens) AS t FROM req) GROUP BY 1
+),
+ranked AS (
+  SELECT token, row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank
+  FROM freq
+),
+vocab AS (SELECT token FROM ranked WHERE rank <= {vocab_v}),
+tok AS (SELECT doc_id, unnest(tokens) AS t FROM req),
+oov AS (
+  SELECT doc_id,
+         round(CAST(count(*) FILTER (WHERE t NOT IN (SELECT token FROM vocab))
+                    AS DOUBLE) / greatest(count(*), 1), 6) AS oov_rate
+  FROM tok GROUP BY doc_id
+),
+gate AS (
+  SELECT r.doc_id, CAST(r.n_tok AS BIGINT) AS n_tok,
+         q.quality_score, rep.rep_ratio, oov.oov_rate,
+         CAST(CASE WHEN r.n_tok < {min_tok} THEN 1 ELSE 0 END
+            + CASE WHEN r.n_tok > {max_tok} THEN 2 ELSE 0 END
+            + CASE WHEN q.quality_score < {min_quality} THEN 4 ELSE 0 END
+            + CASE WHEN rep.rep_ratio > {max_rep} THEN 8 ELSE 0 END
+            + CASE WHEN oov.oov_rate > {max_oov} THEN 16 ELSE 0 END
+            AS BIGINT) AS reasons
+  FROM req r
+  JOIN q ON q.doc_id = r.doc_num
+  JOIN rep ON rep.doc_id = r.doc_id
+  JOIN oov ON oov.doc_id = r.doc_id
+)
+SELECT doc_id, n_tok, quality_score, rep_ratio, oov_rate, reasons,
+       reasons = 0 AS keep
+FROM gate"""

@@ -214,5 +214,13 @@ FROM seeded"""
 MULTIMODAL_QUERIES = {
     # (spark_fn, oracle_sql_or_None) — None => rows-only driver check
     "multimodal_frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
+}
+
+# Rotated out of the driver window in round 7 (its slot gates a tokenizer-
+# layer row): the decode-stub feature extraction shares its Arrow plumbing
+# (schema, batching, metadata pruning) with the still-gated frame-sample
+# row; this exact (query, oracle) pair stays fully asserted by
+# tests/test_rotated_out_oracles.py.
+MULTIMODAL_QUERIES_EXTRA = {
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
 }

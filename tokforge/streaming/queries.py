@@ -535,9 +535,61 @@ FROM m"""
 SQL_CEP_PATTERN = _sql_cep_pattern()
 
 
+# ---------------------------------------------------------------------------
+# CEP absence detection — "an S with no L within T" — the gated BATCH FACE
+# of streaming/patterns.py detect_absence_batch (the streaming face, fired
+# by watermark passage via EventTimeTimeout, is asserted equal to it by
+# tests/test_streaming_patterns.py test_absence_stream_equals_batch).
+# ---------------------------------------------------------------------------
+
+_ABS_A, _ABS_B = "S", "L"
+_ABS_WITHIN_S = 120
+
+
+def q_cep_absence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every S event with no following L of the same source inside 120 s
+    (ts, doc_id order).  One per-key DESCENDING window carrying the
+    running min of later-L timestamps — a scalar compare, never an
+    O(nA*nB) range join."""
+    from tokforge.streaming.patterns import detect_absence_batch
+
+    m = detect_absence_batch(
+        _cep_events(spark, sf_dir), _ABS_A, _ABS_B, _ABS_WITHIN_S
+    )
+    return m.select(
+        "key",
+        "doc_id",
+        F.unix_timestamp("start_ts").alias("start_ts_s"),
+        F.unix_timestamp("deadline_ts").alias("deadline_ts_s"),
+    )
+
+
+def _sql_cep_absence() -> str:
+    from tokforge.streaming.patterns import sql_detect_absence
+
+    inner = sql_detect_absence(_ABS_A, _ABS_B, _ABS_WITHIN_S, "ev")
+    return f"""WITH {sql_requests_cte()},
+ev AS (
+  SELECT source, doc_id, ts,
+         CASE WHEN tokens[1] % 3 = 0 THEN 'S'
+              WHEN tokens[1] % 3 = 1 THEN 'M'
+              ELSE 'L' END AS event
+  FROM req
+),
+m AS ({inner})
+SELECT key, doc_id,
+       CAST(epoch(start_ts) AS BIGINT) AS start_ts_s,
+       CAST(epoch(deadline_ts) AS BIGINT) AS deadline_ts_s
+FROM m"""
+
+
+SQL_CEP_ABSENCE = _sql_cep_absence()
+
+
 STREAMING_QUERIES = {
     "stream_cache_counts": (q_stream_cache_counts, SQL_STREAM_CACHE_COUNTS),
     "cep_pattern": (q_cep_pattern, SQL_CEP_PATTERN),
+    "cep_absence": (q_cep_absence, SQL_CEP_ABSENCE),
     "stream_lsh_dedup": (q_stream_lsh_dedup, SQL_STREAM_LSH_DEDUP),
     "stream_info_cache": (q_stream_info_cache, SQL_STREAM_INFO_CACHE),
     "stream_ratelimit": (q_stream_ratelimit, SQL_STREAM_RATELIMIT),
