@@ -171,3 +171,30 @@ def test_search_results_rank_shape(spark):
         sims = [r["cos_sim"] for r in rows]
         assert sims == sorted(sims, reverse=True)
         assert all(r["vec_id"] != q for r in rows)
+
+
+def test_exact_trainer_matches_float_trainer_quality(spark):
+    """Round-7 gated face (q_ivf_search_trained_exact): the integer-sum
+    Lloyd trainer — quantize once, keep per-cell int64 vector sums,
+    assignment by round(cos, 4) against the un-normalized sum — must not
+    cost recall vs the float trainer (quantization 2^-20 << the 1e-4
+    cosine rounding).  Also pins: training is deterministic (pure function
+    of the table) and the sums are genuinely integer state."""
+    from tokforge.pipeline.similarity import (
+        q_ivf_search_trained_exact,
+        train_ivf_exact,
+    )
+
+    sf = SF_MEDIUM
+    truth = q_knn_bruteforce(spark, sf).collect()
+    exact = q_ivf_search_trained_exact(spark, sf).collect()
+    flt = q_ivf_search_trained(spark, sf).collect()
+    r_exact = _recall_of(exact, truth)
+    r_float = _recall_of(flt, truth)
+    assert r_exact >= r_float - 0.05, (r_exact, r_float)
+
+    emb = load_embeddings(spark, sf)
+    s1 = train_ivf_exact(emb)
+    s2 = train_ivf_exact(emb.repartition(7))
+    assert s1 == s2, "integer-sum state must be partition-independent"
+    assert all(isinstance(v, int) for s in s1 for v in s)
