@@ -302,10 +302,16 @@ def bench_stream_sustained(in_small: str, in_vol: str):
     bench_scaling.py: launch TOKFORGE_SUSTAINED_LAUNCHES fresh
     subprocesses (fresh JVM each — the slow mode is per-process and
     strictly one-sided), each warms up then times the 720k-row volume
-    passes; keep the best launch, retain every launch's raw numbers."""
-    launches = int(os.environ.get("TOKFORGE_SUSTAINED_LAUNCHES", "3"))
+    passes; keep the best launch, retain every launch's raw numbers.
+
+    Round-7 hardening (the r4/r5/r6 headline flip-flopped on box luck
+    three times): >= 5 launches by default, and a SLOW-MODE DISCARD —
+    a launch whose best volume pass runs > 1.5x the session's fastest
+    is the documented process-lifetime slow mode, so it is flagged
+    ``slow_mode`` and excluded from the best-of selection (every launch,
+    flagged or not, stays in the retained JSON for audit)."""
+    launches = int(os.environ.get("TOKFORGE_SUSTAINED_LAUNCHES", "5"))
     results: list[dict] = []
-    best = None
     for li in range(launches):
         out = subprocess.run(
             [
@@ -327,10 +333,14 @@ def bench_stream_sustained(in_small: str, in_vol: str):
         res = json.loads(out.stdout.strip().splitlines()[-1])
         res["launch"] = li
         results.append(res)
-        if best is None or res["tokens_per_sec"] > best["tokens_per_sec"]:
-            best = res
-    if best is None:
+    ok = [r for r in results if "error" not in r]
+    if not ok:
         raise RuntimeError(f"every sustained launch failed: {results}")
+    fastest = min(r["seconds"] for r in ok)
+    for r in ok:
+        r["slow_mode"] = r["seconds"] > 1.5 * fastest
+    kept = [r for r in ok if not r["slow_mode"]]
+    best = max(kept, key=lambda r: r["tokens_per_sec"])
     runs_dir = Path(__file__).resolve().parent / "bench_runs"
     try:
         runs_dir.mkdir(exist_ok=True)
@@ -398,9 +408,13 @@ def main() -> None:
                 "sustained_volume_rows": vol_rows,
                 "sustained_volume_rows_per_sec": int(vol_rows / dt_vol),
                 "sustained_volume_tokens_per_sec": int(vol_tokens / dt_vol),
-                # per-launch audit trail (also bench_runs/sustained_latest.json)
+                # per-launch audit trail (also bench_runs/sustained_latest.json);
+                # negative = slow-mode launch, excluded from the best-of pick
                 "sustained_volume_launches": [
-                    r.get("tokens_per_sec", "launch-failed") for r in vol_launches
+                    (-r["tokens_per_sec"] if r.get("slow_mode") else r["tokens_per_sec"])
+                    if "error" not in r
+                    else "launch-failed"
+                    for r in vol_launches
                 ],
             }
         )

@@ -103,3 +103,53 @@ def test_full_assembly_chain(spark, tmp_path):
         r["doc_id"] for r in mixed2.orderBy("pos", "__key", "doc_id").collect()
     ]
     assert order2 == order
+
+
+def test_full_product_chain_matches_composed_mirror(spark):
+    """Round-7: the ENTIRE r5+r6 chain composed as one lineage (gate ->
+    span removal -> exact dedup -> SimHash collapse -> decontam ->
+    hash split -> budget sample -> interleave -> pack map -> epoch
+    order) equals the single composed DuckDB mirror — the gated
+    corpus_product row's oracle — and the cross-layer invariants hold."""
+    import duckdb
+
+    from tokforge.pipeline.product import (
+        BUDGET,
+        SEQ_LEN,
+        _sql_corpus_product,
+        corpus_product,
+    )
+
+    out = corpus_product(spark, SF_SMALL)
+    rows = out.collect()
+    got = sorted(map(tuple, rows))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMALL}/documents.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(_sql_corpus_product()).fetchall()))
+    assert len(got) == len(want) and got, len(got)
+    assert got == want
+
+    # cross-layer invariants on the Spark product
+    by_strat = {}
+    for r in rows:
+        by_strat.setdefault((r["split"], r["lang"]), []).append(r)
+    assert len({r["split"] for r in rows}) == 2, "both splits survive"
+    steps = sorted(r["step"] for r in rows)
+    assert steps == list(range(len(rows))), "epoch order is a permutation"
+    for (split, lang), rs in by_strat.items():
+        rs.sort(key=lambda r: r["cum_before"])
+        expect = 0
+        for r in rs:
+            # pack tiling is gap-free over the EDITED token weights
+            assert r["cum_before"] == expect, (split, lang, r)
+            assert r["chunk_first"] == r["cum_before"] // SEQ_LEN
+            assert r["offset"] == r["cum_before"] % SEQ_LEN
+            expect += r["n_tok_final"]
+        # budget bound: total < BUDGET + max single doc
+        tot = sum(r["n_tok_final"] for r in rs)
+        assert tot < BUDGET + max(r["n_tok_final"] for r in rs)
+    # dedup actually bit: the digests are unique across the product
+    digs = [r["tokens_md5"] for r in rows]
+    assert len(digs) == len(set(digs))

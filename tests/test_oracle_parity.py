@@ -76,12 +76,22 @@ _BASE_CHAINS = [
     "quality:13/format:gif/max_bytes:40",  # lossless walk-down w/ dtype rule
 ]
 
-# every driver-gated chain and every pytest-only extra chain is parity
-# checked too (incl. max_bytes walk-down and the watermark_url payload)
-from tokforge.engine.queries import OP_CHAINS, OP_CHAINS_EXTRA  # noqa: E402
+# every driver-gated chain, every r7-rotated-out chain, and every
+# pytest-only extra chain is parity checked too (incl. max_bytes
+# walk-down and the watermark_url payload)
+from tokforge.engine.queries import (  # noqa: E402
+    OP_CHAINS,
+    OP_CHAINS_EXTRA,
+    OP_CHAINS_ROTATED,
+)
 
 CHAINS = list(
-    dict.fromkeys(_BASE_CHAINS + list(OP_CHAINS.values()) + list(OP_CHAINS_EXTRA.values()))
+    dict.fromkeys(
+        _BASE_CHAINS
+        + list(OP_CHAINS.values())
+        + list(OP_CHAINS_ROTATED.values())
+        + list(OP_CHAINS_EXTRA.values())
+    )
 )
 
 

@@ -870,6 +870,7 @@ FROM txout"""
 def _pipeline_registry():
     from tokforge.pipeline.assembly import ASSEMBLY_QUERIES
     from tokforge.pipeline.corpusops import CORPUSOPS_QUERIES
+    from tokforge.pipeline.product import PRODUCT_QUERIES
     from tokforge.pipeline.dedup import DEDUP_QUERIES
     from tokforge.pipeline.multimodal import MULTIMODAL_QUERIES
     from tokforge.pipeline.similarity import SIMILARITY_QUERIES
@@ -881,6 +882,7 @@ def _pipeline_registry():
     merged.update(SIMILARITY_QUERIES)
     merged.update(ASSEMBLY_QUERIES)
     merged.update(CORPUSOPS_QUERIES)
+    merged.update(PRODUCT_QUERIES)
     merged.update(TEXT_QUERIES)
     merged.update(MULTIMODAL_QUERIES)
     merged.update(STREAMING_QUERIES)

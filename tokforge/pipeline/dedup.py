@@ -427,18 +427,24 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_arrow(requests_df(spark, sf_dir, "simhash"))
 
 
-def _sql_simhash() -> str:
+def sql_simhash_expr(tokens: str = "tokens") -> str:
+    """The 16-bit SimHash as a DuckDB scalar expression over a token-list
+    column — shared by the gated dedup_simhash oracle and the composed
+    corpus-product oracle (pipeline/product.py)."""
     h = f"(CAST(x AS BIGINT) * {SIMHASH_MULT}) % {SIMHASH_MOD}"
     bit_terms = []
     for bit in range(SIMHASH_BITS):
         vote = (
-            f"list_sum(list_transform(tokens, x -> "
+            f"list_sum(list_transform({tokens}, x -> "
             f"CASE WHEN ({h} // {2**bit}) % 2 = 1 THEN 1 ELSE -1 END))"
         )
         bit_terms.append(f"CASE WHEN {vote} > 0 THEN {2**bit} ELSE 0 END")
-    simhash = " + ".join(bit_terms)
+    return "CAST(" + " + ".join(bit_terms) + " AS BIGINT)"
+
+
+def _sql_simhash() -> str:
     return f"""WITH {sql_requests_cte()}
-SELECT doc_id, CAST({simhash} AS BIGINT) AS simhash16 FROM req"""
+SELECT doc_id, {sql_simhash_expr()} AS simhash16 FROM req"""
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -87,7 +87,7 @@ def quality_gate(
     )
 
 
-def sql_quality_gate(
+def sql_quality_gate_ctes(
     *,
     min_tok: int = 8,
     max_tok: int = 1024,
@@ -97,17 +97,15 @@ def sql_quality_gate(
     rep_k: int = 3,
     vocab_v: int = 1024,
 ) -> str:
-    """DuckDB twin of :func:`quality_gate`, composed from the SAME
-    component mirrors (quality score, k-gram repetition fold, top-V OOV)
-    — the single rendering shared by tests/test_gate.py and the gated
-    driver row."""
+    """The gate's CTE block (everything between the shared ``req`` CTE and
+    the final SELECT; ends with the ``gate`` CTE) — reused verbatim by
+    both :func:`sql_quality_gate` and the composed corpus-product oracle
+    (pipeline/product.py)."""
     from tokforge.pipeline.substr import sql_kgram_fold
     from tokforge.pipeline.text import _sql_quality_score  # noqa: PLC2701
-    from tokforge.sources.requests import sql_requests_cte
 
     fold = sql_kgram_fold(rep_k)
-    return f"""WITH {sql_requests_cte()},
-q AS ({_sql_quality_score()}),
+    return f"""q AS ({_sql_quality_score()}),
 rep AS (
   SELECT doc_id,
          round(CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE)
@@ -145,7 +143,18 @@ gate AS (
   JOIN q ON q.doc_id = r.doc_num
   JOIN rep ON rep.doc_id = r.doc_id
   JOIN oov ON oov.doc_id = r.doc_id
-)
+)"""
+
+
+def sql_quality_gate(**params) -> str:
+    """DuckDB twin of :func:`quality_gate`, composed from the SAME
+    component mirrors (quality score, k-gram repetition fold, top-V OOV)
+    — the single rendering shared by tests/test_gate.py and the gated
+    driver row."""
+    from tokforge.sources.requests import sql_requests_cte
+
+    return f"""WITH {sql_requests_cte()},
+{sql_quality_gate_ctes(**params)}
 SELECT doc_id, n_tok, quality_score, rep_ratio, oov_rate, reasons,
        reasons = 0 AS keep
 FROM gate"""

@@ -8,7 +8,12 @@ corpus-wide — this benchmarks the ADVERSARIAL full-coverage case (all
 positions marked, maximal span-window work), the worst case for the
 post-join stages.  Real corpora mark a few percent of positions.
 
-Usage: python tools/bench_substr.py [sf_dir] [replicas] [k] [min_count]
+Usage: python tools/bench_substr.py [sf_dir] [replicas] [k] [min_count] [stride]
+
+``stride`` > 1 samples every stride-th gram position before the
+corpus-sized position join — the 100 TB recall/volume dial (r7 sweep
+in BENCH.md; sampled runs merge since the r7 island fix, and spans
+stay gap-free while stride <= k).
 """
 
 from __future__ import annotations
@@ -39,6 +44,7 @@ def main() -> None:
     replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     min_count = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    stride = int(sys.argv[5]) if len(sys.argv) > 5 else 1
     spark = build_spark(app_name="tokforge-bench-substr")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -48,7 +54,7 @@ def main() -> None:
     stages: dict[str, dict] = {}
 
     t = time.time()
-    spans = duplicate_spans(req, k=k, min_count=min_count)
+    spans = duplicate_spans(req, k=k, min_count=min_count, stride=stride)
     n_spans = spans.count()
     w = time.time() - t
     stages["duplicate_spans"] = {
@@ -58,7 +64,7 @@ def main() -> None:
     }
 
     t = time.time()
-    cov = dup_coverage(req, k=k, min_count=min_count)
+    cov = dup_coverage(req, k=k, min_count=min_count, stride=stride)
     tot_dup, tot_tok = cov.select(F.sum("dup_tokens"), F.sum("n_tok")).first()
     w = time.time() - t
     stages["dup_coverage"] = {
@@ -94,6 +100,7 @@ def main() -> None:
                 "replicas": replicas,
                 "k": k,
                 "min_count": min_count,
+                "stride": stride,
                 "docs": int(n_docs),
                 "tokens": int(n_tokens),
                 "stages": stages,
