@@ -305,3 +305,43 @@ def test_repetition_stats_is_map_only(spark):
     assert "Exchange" not in plan, plan
     assert "Aggregate" not in plan, plan
     assert plan.count("MapInArrow") == 1, plan
+
+
+def test_hash_split_is_narrow_projection(spark):
+    """The train/val split is a pure projection over the scan: zero
+    Exchange, zero aggregation, no Python."""
+    from tokforge.pipeline.sample import hash_split
+    from tokforge.sources.requests import load_documents
+
+    plan = plan_of(hash_split(load_documents(spark, SF_SMALL), 0.25))
+    assert "Exchange" not in plan, plan
+    assert "Aggregate" not in plan, plan
+    assert "Python" not in plan and "MapInArrow" not in plan, plan
+
+
+def test_apply_bpe_is_map_only_both_paths(spark):
+    """Encoding with a merge table is one narrow Arrow pass — on the
+    vectorized causal path AND the exact non-causal path (the r7
+    fallback changes the per-batch kernel, never the distributed shape)."""
+    from tokforge.pipeline.bpe import apply_bpe
+
+    req = requests_df(spark, SF_SMALL, "bpe").select("doc_id", "tokens")
+    merges = [{"rank": 0, "tok_a": 1, "tok_b": 2, "new_id": 60001}]
+    for exact in (False, True):
+        plan = plan_of(apply_bpe(req, merges, exact=exact))
+        assert "Exchange" not in plan, (exact, plan)
+        assert plan.count("MapInArrow") == 1, (exact, plan)
+
+
+def test_ivf_trained_search_broadcasts_probes_no_corpus_window(spark):
+    """The trained-IVF search keeps the IVF scale contract: exploded
+    query probes BROADCAST into an equi-join on the cell key (never a
+    nested-loop pair scan), and the only corpus-row shuffles are the
+    two-phase top-k's qid exchanges — assignment is a pure column
+    expression over the scan."""
+    from tokforge.pipeline.similarity import q_ivf_search_trained_exact
+
+    plan = plan_of(q_ivf_search_trained_exact(spark, SF_SMALL))
+    assert "BroadcastExchange" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
