@@ -100,3 +100,60 @@ def test_matches_duckdb_oracle(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_temperature_weights_match_duckdb_and_compose(spark):
+    """mT5-style temperature mixing (round 7): weights (n_s/n)^alpha are
+    bit-identical to the DuckDB rendering (same integer counts, same
+    IEEE pow), obey the alpha edges, and feed weighted_interleave
+    directly."""
+    import duckdb
+
+    from tokforge.pipeline.interleave import (
+        temperature_weights,
+        weighted_interleave,
+        weighted_interleave_bucketed,
+    )
+    from tokforge.sources.requests import load_documents
+
+    docs = load_documents(spark, SF_SMALL)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMALL}/documents.parquet'"
+    )
+    for alpha in (0.0, 0.3, 1.0):
+        got = temperature_weights(docs, alpha)
+        want = dict(
+            con.execute(
+                f"""WITH c AS (
+  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n
+  FROM documents GROUP BY 1
+)
+SELECT source,
+       pow(CAST(n AS DOUBLE) / (SELECT CAST(sum(n) AS DOUBLE) FROM c), {alpha})
+FROM c"""
+            ).fetchall()
+        )
+        assert got == want, alpha
+    uniform = temperature_weights(docs, 0.0)
+    assert set(uniform.values()) == {1.0}
+    natural = temperature_weights(docs, 1.0)
+    # alpha=1 reproduces natural proportions (weights sum to 1)
+    assert abs(sum(natural.values()) - 1.0) < 1e-12
+    # temperature flattens: the head/tail ratio shrinks monotonically
+    t03 = temperature_weights(docs, 0.3)
+    spread = lambda w: max(w.values()) / min(w.values())
+    assert spread(t03) < spread(natural)
+    # and the derived weights drive the interleave deterministically
+    a = weighted_interleave(docs, t03).select("doc_id", "pos").collect()
+    b = weighted_interleave_bucketed(docs.repartition(7), t03).select(
+        "doc_id", "pos"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        temperature_weights(docs, 1.5)
+    with pytest.raises(ValueError):
+        temperature_weights(docs, 0.3, max_strata=2)

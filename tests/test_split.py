@@ -69,3 +69,60 @@ def test_edges(spark):
     assert set(_assign(hash_split(docs, 1.0)).values()) == {"val"}
     with pytest.raises(ValueError):
         hash_split(docs, 1.5)
+
+def test_cross_split_leakage_planted_and_mirrored(spark):
+    """Round 7 eval-hygiene op: exact dup and ORDER-PERMUTED near dup
+    (SimHash is a bag vote, so a permutation collides at Hamming 0)
+    planted across the split are flagged; clean val docs are not; and
+    the whole op equals a composed DuckDB mirror on the real corpus."""
+    import duckdb
+    import pandas as pd
+
+    from tokforge.pipeline.dedup import cross_split_leakage, sql_simhash_expr
+    from tokforge.sources.requests import requests_df, sql_requests_cte
+
+    rows = [
+        ("t1", "train", [1, 2, 3, 4]),
+        ("t2", "train", [5, 6, 7, 8]),
+        ("v1", "val", [1, 2, 3, 4]),      # exact dup of t1
+        ("v2", "val", [8, 7, 6, 5]),      # permutation of t2: near, not exact
+        ("v3", "val", [101, 202, 303]),   # clean
+    ]
+    d = spark.createDataFrame(rows, "doc_id string, split string, tokens array<int>")
+    got = {r["doc_id"]: (r["leak_exact"], r["leak_near"], r["leaked"])
+           for r in cross_split_leakage(d).collect()}
+    assert got["v1"] == (True, True, True)
+    assert got["v2"] == (False, True, True)
+    assert got["v3"] == (False, False, False)
+
+    # engine equality on the real corpus + hash_split (composed mirror)
+    req = requests_df(spark, SF_SMALL, "leak").select("doc_id", "tokens")
+    split_df = hash_split(req, FRAC)
+    got2 = sorted(
+        tuple(r) for r in cross_split_leakage(split_df).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMALL}/documents.parquet'"
+    )
+    want2 = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""WITH {sql_requests_cte()},
+s AS (
+  SELECT doc_id, tokens, {sql_hash_split(FRAC)} AS split,
+         md5(coalesce(array_to_string(tokens, ','), '')) AS dig,
+         {sql_simhash_expr()} AS sh
+  FROM req
+),
+dg AS (SELECT dig, max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) = 1 AS t
+       FROM s GROUP BY dig),
+sg AS (SELECT sh, max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) = 1 AS t
+       FROM s GROUP BY sh)
+SELECT s.doc_id, dg.t AS leak_exact, sg.t AS leak_near,
+       dg.t OR sg.t AS leaked
+FROM s JOIN dg USING (dig) JOIN sg ON sg.sh = s.sh
+WHERE s.split = 'val'"""
+        ).fetchall()
+    )
+    assert got2 == want2 and got2

@@ -696,6 +696,58 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str, replicas: int = 1) -> Dat
     )
 
 
+def cross_split_leakage(
+    d: DataFrame,
+    split_col: str = "split",
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    train_val: tuple = ("train", "val"),
+) -> DataFrame:
+    """Train/val contamination check — the eval-hygiene op a pipeline
+    runs AFTER hash_split and BEFORE trusting a validation loss: for
+    every val document, does any train document duplicate it exactly
+    (token-stream digest) or near-exactly (identical 16-bit SimHash —
+    the Hamming-0 collapse rule shared with pipeline.product)?
+
+    Returns the val rows + (leak_exact, leak_near, leaked).  Shape at
+    100 TB: one narrow SimHash pass over the corpus, then two
+    semi-join-style aggregations keyed on digest / signature — the val
+    side is the small fraction, and neither join ever expands pairs
+    (EXISTS via groupBy on the key, never doc x doc).  DuckDB mirror in
+    tests/test_split.py composes the SAME renderings: md5 digest,
+    sql_simhash_expr, sql_hash_split.
+    """
+    train_name, val_name = train_val
+    base = d.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(split_col).alias("__split"),
+        F.col(tokens_col).alias("tokens"),
+    )
+    sig = simhash_arrow(base.select("doc_id", "tokens"))
+    keyed = base.join(sig, "doc_id").withColumn(
+        "__dig", F.md5(F.concat_ws(",", F.col("tokens").cast("array<string>")))
+    )
+    is_train = F.col("__split") == train_name
+    by_dig = keyed.groupBy("__dig").agg(
+        F.max(F.when(is_train, True).otherwise(False)).alias("__train_dig")
+    )
+    by_sh = keyed.groupBy("simhash16").agg(
+        F.max(F.when(is_train, True).otherwise(False)).alias("__train_sh")
+    )
+    val = keyed.filter(F.col("__split") == val_name)
+    out = (
+        val.join(by_dig, "__dig")
+        .join(by_sh, "simhash16")
+        .select(
+            "doc_id",
+            F.col("__train_dig").alias("leak_exact"),
+            F.col("__train_sh").alias("leak_near"),
+            (F.col("__train_dig") | F.col("__train_sh")).alias("leaked"),
+        )
+    )
+    return out
+
+
 DEDUP_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_lsh_pairs": (q_lsh_pairs, _sql_lsh_pairs()),

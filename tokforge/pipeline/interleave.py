@@ -148,3 +148,48 @@ def q_interleave(
     return fn(docs, weights).select(
         "doc_id", "source", "rank_in_stratum", "w", "pos", "__key"
     )
+
+
+def temperature_weights(
+    docs: DataFrame,
+    alpha: float,
+    stratum_col: str = "source",
+    weight: "F.Column | None" = None,
+    max_strata: int = _MAX_DERIVED_SOURCES,
+) -> dict[str, float]:
+    """Temperature-based mix weights — the standard multilingual /
+    multi-source pretraining rule (mT5/XLM-R style): stratum s gets
+    weight ``(n_s / n_total) ** alpha``.  alpha = 1 reproduces natural
+    proportions, alpha = 0 uniform, the usual 0.2-0.7 range up-samples
+    the tail without letting the head stratum drown it.
+
+    Returns a plain dict for :func:`weighted_interleave` /
+    ``weighted_interleave_bucketed`` — mix weights are scale-invariant
+    there (pos = rank / w), so no normalization is needed.
+
+    Scale shape: ONE map-side-combinable aggregation to strata rows,
+    collected driver-side like any dim table; capped at ``max_strata``
+    with an explicit error (the 10^6-strata derive-from-data shape is
+    the anti-pattern this module already bans for q_interleave).
+    DuckDB mirror in tests/test_interleave.py: same pow over the same
+    integer counts — bit-identical weights, hence bit-identical mix.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    w = weight if weight is not None else F.size(F.split(F.col("text"), " "))
+    rows = (
+        docs.groupBy(stratum_col)
+        .agg(F.sum(w.cast("long")).alias("n"))
+        .limit(max_strata + 1)
+        .collect()
+    )
+    if len(rows) > max_strata:
+        raise ValueError(
+            f"more than {max_strata} strata; derive-from-data weighting "
+            "is capped — pass explicit weights at this cardinality"
+        )
+    counts = {r[stratum_col]: int(r["n"]) for r in rows}
+    total = sum(counts.values())
+    if total <= 0:
+        raise ValueError("empty corpus: no tokens to weight")
+    return {s: float((n / total) ** alpha) for s, n in counts.items()}
