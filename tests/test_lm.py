@@ -92,3 +92,41 @@ def test_partition_independent_integer_score(spark):
     }
     assert a == b
     assert all(isinstance(v, int) for v in a.values())
+
+
+def test_ppl_buckets_mirror_and_semantics(spark):
+    """CCNet head/middle/tail: per-source exact tertiles, DuckDB mirror
+    equality, and the bucket semantics (head = lowest perplexity; every
+    scored doc lands in exactly one bucket; per-stratum shares ~1/3)."""
+    from collections import Counter
+
+    from tokforge.pipeline.lm import ppl_buckets, sql_ppl_buckets
+
+    got_rows = ppl_buckets(requests_df(spark, SF_SMALL, "lm")).collect()
+    got = sorted(map(tuple, got_rows))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMALL}/documents.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(sql_ppl_buckets()).fetchall()))
+    assert got == want and len(got) == 500
+
+    by_strat = {}
+    for r in got_rows:
+        assert r["bucket"] in ("head", "middle", "tail")
+        by_strat.setdefault(r["stratum"], []).append(r)
+    for s, rs in by_strat.items():
+        c = Counter(r["bucket"] for r in rs)
+        n = len(rs)
+        # type-1 tertiles: each bucket holds a positive share, and the
+        # head cut is at >= 1/3 of the stratum
+        assert c["head"] >= -(-n // 3), (s, c)
+        heads = [r["ppl"] for r in rs if r["bucket"] == "head"]
+        tails = [r["ppl"] for r in rs if r["bucket"] == "tail"]
+        if heads and tails:
+            assert max(heads) < min(tails), s
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        ppl_buckets(requests_df(spark, SF_SMALL, "lm"), qs=(0.5, 0.2, 0.9))

@@ -209,3 +209,46 @@ def test_emit_chunks_zero_weight_docs_emit_nothing(spark):
     )
     # total tokens preserved
     assert sum(r["n_fill"] for r in got) == 8
+
+
+def test_chunk_boundaries_match_emitted_tiling(spark):
+    """Round 7: the attention-boundary map agrees with the materialized
+    chunks — every chunk's boundary offsets are exactly where a new doc's
+    tokens begin in the emitted sequence, boundary 0 appears iff the
+    chunk starts a document, and a missing map entry means the chunk is
+    fully covered by a continuing doc; bucketed == window reference."""
+    from tokforge.pipeline.pack import chunk_boundaries, emit_chunks, pack_sequences
+
+    docs = load_documents(spark, SF_SMALL)
+    bounds = {
+        (r["lang"], r["chunk_id"]): (r["n_starts"], list(r["boundaries"]))
+        for r in chunk_boundaries(docs, L).collect()
+    }
+    ref = {
+        (r["lang"], r["chunk_id"]): (r["n_starts"], list(r["boundaries"]))
+        for r in chunk_boundaries(docs, L, bucketed=False).collect()
+    }
+    assert bounds == ref and bounds
+
+    # rebuild expected boundaries from the packing map itself
+    mapped = pack_sequences(docs, L).collect()
+    expect = {}
+    for m in mapped:
+        if m["w"] <= 0:
+            continue
+        key = (m["lang"], m["chunk_first"])
+        expect.setdefault(key, []).append(m["offset"])
+    expect = {k: (len(v), sorted(v)) for k, v in expect.items()}
+    assert bounds == expect
+
+    # chunks missing from the map are mid-document continuations
+    chunks = emit_chunks(docs, L).collect()
+    all_chunks = {(r["lang"], r["chunk_id"]) for r in chunks}
+    covered = set(bounds)
+    assert covered <= all_chunks
+    for key in all_chunks - covered:
+        lang, cid = key
+        assert cid > 0, "chunk 0 always starts a document"
+    # every offset is a valid in-chunk position
+    for (lang, cid), (n, offs) in bounds.items():
+        assert n == len(offs) and all(0 <= o < L for o in offs)

@@ -32,7 +32,7 @@ DuckDB mirror + pure-python reference in tests/test_lm.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tokforge.constants import VOCAB
@@ -111,10 +111,10 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(requests_df(spark, sf_dir, "lm"))
 
 
-def sql_lm_score(vocab_size: int = VOCAB) -> str:
-    """DuckDB twin over the shared ``req`` CTE."""
-    return f"""WITH {sql_requests_cte()},
-p AS (
+def _sql_lm_ctes(vocab_size: int = VOCAB) -> str:
+    """The scorer's CTE block (p/big/uni/lp/sc), shared by
+    :func:`sql_lm_score` and :func:`sql_ppl_buckets`."""
+    return f"""p AS (
   SELECT doc_id, unnest(tokens[1:len(tokens)-1]) AS a,
          unnest(tokens[2:len(tokens)]) AS b
   FROM req
@@ -135,7 +135,13 @@ sc AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
          CAST(sum(lp) AS BIGINT) AS score_micronats
   FROM lp GROUP BY doc_id
-)
+)"""
+
+
+def sql_lm_score(vocab_size: int = VOCAB) -> str:
+    """DuckDB twin over the shared ``req`` CTE."""
+    return f"""WITH {sql_requests_cte()},
+{_sql_lm_ctes(vocab_size)}
 SELECT r.doc_id,
        coalesce(sc.n_pairs, 0) AS n_pairs,
        coalesce(sc.score_micronats, 0) AS score_micronats,
@@ -144,3 +150,99 @@ SELECT r.doc_id,
        round(exp(-(CAST(sc.score_micronats AS DOUBLE) / {MICRO} / sc.n_pairs)), 4)
          AS ppl
 FROM req r LEFT JOIN sc ON sc.doc_id = r.doc_id"""
+
+
+def ppl_buckets(
+    req: DataFrame, by: str = "source", qs: tuple = (1 / 3, 2 / 3)
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: per ``by`` stratum, split
+    documents into head / middle / tail by the stratum's own exact
+    type-1 ppl quantiles (``qs`` = the two cut fractions; head = lowest
+    perplexity = most model-like).  Documents with no pairs carry a
+    NULL bucket.
+
+    Shape: lm_score's passes, then the length_quantiles trick applied
+    to ppl — cumulative window over DISTINCT (stratum, ppl) counts, so
+    the corpus is never sorted; the two thresholds ride a broadcast
+    join back.  Output: (doc_id, stratum, ppl, bucket)."""
+    lo, hi = sorted(float(q) for q in qs)
+    if not (0.0 < lo < hi <= 1.0):
+        raise ValueError(f"cut fractions must satisfy 0 < lo < hi <= 1, got {qs}")
+    scored = lm_score(req).select("doc_id", "ppl")
+    strat = req.select(
+        F.col("doc_id").cast("string").alias("doc_id"), F.col(by).alias("stratum")
+    )
+    d = strat.join(scored, "doc_id")
+    have = d.filter(F.col("ppl").isNotNull())
+    counts = have.groupBy("stratum", "ppl").agg(F.count("*").alias("c"))
+    w_cum = Window.partitionBy("stratum").orderBy("ppl")
+    w_tot = Window.partitionBy("stratum")
+    cum = counts.select(
+        "stratum",
+        "ppl",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_tot).alias("total"),
+    )
+
+    def thr(q: float, name: str):
+        return (
+            cum.filter(F.col("cum") >= F.ceil(F.lit(q) * F.col("total")).cast("long"))
+            .groupBy("stratum")
+            .agg(F.min("ppl").alias(name))
+        )
+
+    out = (
+        d.join(F.broadcast(thr(lo, "__tlo")), "stratum", "left")
+        .join(F.broadcast(thr(hi, "__thi")), "stratum", "left")
+        .select(
+            "doc_id",
+            "stratum",
+            "ppl",
+            F.when(F.col("ppl").isNull(), F.lit(None).cast("string"))
+            .when(F.col("ppl") <= F.col("__tlo"), "head")
+            .when(F.col("ppl") <= F.col("__thi"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )
+    return out
+
+
+def sql_ppl_buckets(
+    by: str = "source", qs: tuple = (1 / 3, 2 / 3), vocab_size: int = VOCAB
+) -> str:
+    lo, hi = sorted(float(q) for q in qs)
+    return f"""WITH {sql_requests_cte()},
+{_sql_lm_ctes(vocab_size)},
+scored AS (
+  SELECT r.doc_id, r.{by} AS stratum,
+         round(exp(-(CAST(sc.score_micronats AS DOUBLE) / {MICRO} / sc.n_pairs)), 4)
+           AS ppl
+  FROM req r LEFT JOIN sc ON sc.doc_id = r.doc_id
+),
+cnt AS (
+  SELECT stratum, ppl, count(*) AS c FROM scored
+  WHERE ppl IS NOT NULL GROUP BY 1, 2
+),
+cum AS (
+  SELECT stratum, ppl,
+         sum(c) OVER (PARTITION BY stratum ORDER BY ppl) AS cum,
+         sum(c) OVER (PARTITION BY stratum) AS total
+  FROM cnt
+),
+tlo AS (
+  SELECT stratum, min(ppl) AS t FROM cum
+  WHERE cum >= CAST(ceil({lo!r} * total) AS BIGINT) GROUP BY stratum
+),
+thi AS (
+  SELECT stratum, min(ppl) AS t FROM cum
+  WHERE cum >= CAST(ceil({hi!r} * total) AS BIGINT) GROUP BY stratum
+)
+SELECT s.doc_id, s.stratum, s.ppl,
+       CASE WHEN s.ppl IS NULL THEN NULL
+            WHEN s.ppl <= tlo.t THEN 'head'
+            WHEN s.ppl <= thi.t THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s
+LEFT JOIN tlo USING (stratum)
+LEFT JOIN thi USING (stratum)"""

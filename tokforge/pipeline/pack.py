@@ -240,3 +240,41 @@ SELECT lang,
        md5(string_agg(tok, ',' ORDER BY pos)) AS chunk_md5
 FROM flat
 GROUP BY 1, 2"""
+
+
+def chunk_boundaries(
+    docs: DataFrame,
+    seq_len: int,
+    stratum_col: str = "lang",
+    weight: "F.Column | None" = None,
+    id_col: str = "doc_id",
+    bucketed: bool = True,
+) -> DataFrame:
+    """Per-chunk DOCUMENT-BOUNDARY map — what a trainer needs to build
+    block-diagonal attention masks (and EOD-token insertion points) over
+    packed sequences: for every (stratum, chunk_id), the sorted offsets
+    at which a NEW document starts inside that chunk.
+
+    Derivation is pure column algebra over the packing map: a document
+    starts in chunk ``chunk_first`` at offset ``cum_before % L``; the
+    groupBy on (stratum, chunk_first) is the same uniform-group shuffle
+    as emit_chunks (<= seq_len starts per group).  A chunk with no entry
+    in this map is fully covered by a continuing document (pinned by
+    tests/test_pack.py against emit_chunks' materialized tiling).
+
+    Output: (stratum, chunk_id, n_starts, boundaries) with boundaries a
+    sorted int array; the driver-facing digest face is the caller's
+    choice (arrays digest through md5(join) like every gated face).
+    """
+    fn = pack_sequences_bucketed if bucketed else pack_sequences
+    mapped = fn(docs, seq_len, stratum_col, weight=weight, id_col=id_col)
+    return (
+        mapped.filter(F.col("w") > 0)
+        .groupBy(stratum_col, F.col("chunk_first").alias("chunk_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_starts"),
+            F.sort_array(
+                F.collect_list(F.col("offset").cast("int"))
+            ).alias("boundaries"),
+        )
+    )
