@@ -345,3 +345,19 @@ def test_ivf_trained_search_broadcasts_probes_no_corpus_window(spark):
     assert "BroadcastExchange" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_lm_score_joins_are_hash_equi_no_corpus_sort(spark):
+    """The LM scorer's corpus-wide work is: one pair explode, two count
+    aggregates, two hash equi-joins on (a, b)/(a), one integer groupBy.
+    No nested loop, no cartesian, and no Sort over corpus-derived rows."""
+    from tokforge.pipeline.lm import lm_score
+
+    req = requests_df(spark, SF_SMALL, "lm")
+    plan = plan_of(lm_score(req))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan or "Sort " in plan, plan  # SMJ implies its sorts
+    # the scorer itself never orders anything; any Sort present belongs
+    # to a sort-merge join strategy choice, not to a global window
+    assert "Window" not in plan, plan

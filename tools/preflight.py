@@ -22,7 +22,10 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 EXPECTED_QUERIES = 50
-ROWS_ONLY_OK = {"multimodal_features"}  # seeded-RNG stub, not SQL-expressible
+# names allowed to lack an oracle (rows-only driver check); empty since
+# r7 — every gated row is fully oracled (multimodal_features, the one
+# historical member, rotated out in r7)
+ROWS_ONLY_OK: set[str] = set()
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
