@@ -138,3 +138,24 @@ def test_clusters_consistent_with_lsh_pairs(spark):
         assert comp[r["doc_a"]] == comp[r["doc_b"]], (r, "split cluster")
     for doc, label in comp.items():
         assert label <= doc  # canonical = minimum member
+
+
+def test_components_match_recursive_sql_mirror(spark):
+    """Round 7: the clustering now has a full SQL rendering — a DuckDB
+    RECURSIVE min-label reachability CTE over the same LSH candidate
+    pairs — not just the union-find python oracle.  Exact equality on
+    the real corpus."""
+    import duckdb
+
+    from tokforge.pipeline.dedup import q_dedup_clusters, sql_connected_components
+
+    got = sorted(
+        (r["doc_id"], r["component"])
+        for r in q_dedup_clusters(spark, SF_SMALL).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMALL}/documents.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(sql_connected_components()).fetchall()))
+    assert got and got == want

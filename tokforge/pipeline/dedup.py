@@ -696,6 +696,31 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str, replicas: int = 1) -> Dat
     )
 
 
+def sql_connected_components() -> str:
+    """DuckDB mirror of q_dedup_clusters — connected components over the
+    LSH candidate pairs as a RECURSIVE min-label reachability CTE (the
+    stream_ratelimit oracle pattern): ``reach`` accumulates every
+    (node, reachable-id) fact to fixpoint and the component label is the
+    minimum.  Exact for any graph; the row count is bounded by
+    sum(|component|^2), fine at oracle SFs — the ENGINE keeps the
+    contraction algorithm, this is the independent semantic rendering
+    (upgrades the clustering from union-find-pytest-only to fully
+    SQL-mirrored)."""
+    return f"""WITH RECURSIVE {_lsh_ctes()},
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM cand
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM cand
+),
+nodes AS (SELECT DISTINCT a AS n FROM und),
+reach(n, lbl) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT u.a, r.lbl FROM und u JOIN reach r ON r.n = u.b
+)
+SELECT n AS doc_id, min(lbl) AS component FROM reach GROUP BY n"""
+
+
 def cross_split_leakage(
     d: DataFrame,
     split_col: str = "split",
