@@ -717,34 +717,40 @@ def train_ivf_exact(
     vector sums after ``iters`` Lloyd rounds (init = the k lowest
     md5(seed:vec_id) rows' quantized vectors; empty cells keep their
     previous sum)."""
-    base = emb.select("vec_id", _quant_expr(F.col("embedding")).alias("eq"))
-    init = (
-        base.withColumn(
-            "__r", F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("vec_id")))
-        )
-        .orderBy("__r", "vec_id")
-        .limit(k)
-        .select("eq")
-        .collect()
-    )
-    sums = [[int(x) for x in r["eq"]] for r in init]
-    for _ in range(iters):
-        cell = _argmax_cell_int(F.col("eq"), sums)
-        agg = (
-            base.select(cell.alias("cell"), "eq")
-            .groupBy("cell")
-            .agg(
-                *[
-                    F.sum(F.element_at("eq", i + 1)).alias(f"s{i}")
-                    for i in range(dim)
-                ]
+    # the quantized projection is scanned once per round (+ init): persist
+    # it for the loop — at 100 TB the same role is played by writing the
+    # projection once as a stage table and training against that
+    base = emb.select("vec_id", _quant_expr(F.col("embedding")).alias("eq")).persist()
+    try:
+        init = (
+            base.withColumn(
+                "__r", F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("vec_id")))
             )
+            .orderBy("__r", "vec_id")
+            .limit(k)
+            .select("eq")
             .collect()
         )
-        new = [list(s) for s in sums]
-        for r in agg:
-            new[int(r["cell"])] = [int(r[f"s{i}"]) for i in range(dim)]
-        sums = new
+        sums = [[int(x) for x in r["eq"]] for r in init]
+        for _ in range(iters):
+            cell = _argmax_cell_int(F.col("eq"), sums)
+            agg = (
+                base.select(cell.alias("cell"), "eq")
+                .groupBy("cell")
+                .agg(
+                    *[
+                        F.sum(F.element_at("eq", i + 1)).alias(f"s{i}")
+                        for i in range(dim)
+                    ]
+                )
+                .collect()
+            )
+            new = [list(s) for s in sums]
+            for r in agg:
+                new[int(r["cell"])] = [int(r[f"s{i}"]) for i in range(dim)]
+            sums = new
+    finally:
+        base.unpersist()
     return sums
 
 

@@ -8,6 +8,7 @@ Usage: python tools/check_correctness.py [sf_dir] [query_name ...]
 from __future__ import annotations
 
 import sys
+import time
 from pathlib import Path
 
 import duckdb
@@ -64,9 +65,11 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = 0
+    t_total0 = time.time()
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.time()
         try:
             sdf = normalize(fn(spark, sf_dir).toPandas())
         except Exception as exc:  # noqa: BLE001
@@ -109,12 +112,12 @@ def main() -> int:
                 eq = False
                 break
         if eq:
-            print(f"PASS {name} ({len(sdf)} rows)")
+            print(f"PASS {name} ({len(sdf)} rows, {time.time() - t0:.1f}s)")
             n_pass += 1
         else:
             n_fail += 1
 
-    print(f"\n{n_pass} passed, {n_fail} failed")
+    print(f"\n{n_pass} passed, {n_fail} failed in {time.time() - t_total0:.1f}s")
     spark.stop()
     return 1 if n_fail else 0
 
