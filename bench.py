@@ -311,8 +311,14 @@ def bench_stream_sustained(in_small: str, in_vol: str):
     ``slow_mode`` and excluded from the best-of selection (every launch,
     flagged or not, stays in the retained JSON for audit)."""
     launches = int(os.environ.get("TOKFORGE_SUSTAINED_LAUNCHES", "5"))
+    # wall budget so the 5-launch default cannot blow a caller's timeout:
+    # at least 3 launches always run; past the budget no NEW launch starts
+    budget_s = float(os.environ.get("TOKFORGE_SUSTAINED_BUDGET_S", "420"))
+    t_start = time.time()
     results: list[dict] = []
     for li in range(launches):
+        if li >= 3 and time.time() - t_start > budget_s:
+            break
         out = subprocess.run(
             [
                 sys.executable,
