@@ -126,3 +126,53 @@ WHERE s.split = 'val'"""
         ).fetchall()
     )
     assert got2 == want2 and got2
+
+
+def test_cross_split_leakage_fuzz_vs_python(spark):
+    """Random small corpora with planted cross-split dups: the engine's
+    leakage verdicts match a pure-python simhash/digest reference."""
+    import random
+
+    from tokforge.pipeline.dedup import (
+        SIMHASH_BITS,
+        SIMHASH_MOD,
+        SIMHASH_MULT,
+        cross_split_leakage,
+    )
+
+    def py_simhash(toks):
+        h = 0
+        for bit in range(SIMHASH_BITS):
+            vote = sum(
+                1 if ((x * SIMHASH_MULT) % SIMHASH_MOD >> bit) & 1 else -1
+                for x in toks
+            )
+            if vote > 0:
+                h += 1 << bit
+        return h
+
+    rng = random.Random(2024)
+    rows = []
+    for i in range(60):
+        toks = [rng.randrange(6) for _ in range(rng.randrange(1, 12))]
+        rows.append((f"d{i}", rng.choice(["train", "val"]), toks))
+    # plant: exact dup and permuted dup across splits
+    rows.append(("px", "train", [9, 8, 7, 6]))
+    rows.append(("py", "val", [6, 7, 8, 9]))
+    rows.append(("ex", "train", [11, 12, 13]))
+    rows.append(("ey", "val", [11, 12, 13]))
+    df = spark.createDataFrame(rows, "doc_id string, split string, tokens array<int>")
+    got = {r["doc_id"]: (r["leak_exact"], r["leak_near"], r["leaked"])
+           for r in cross_split_leakage(df).collect()}
+
+    train_digs = {tuple(t) for d, s, t in rows if s == "train"}
+    train_shs = {py_simhash(t) for d, s, t in rows if s == "train"}
+    for d, s, t in rows:
+        if s != "val":
+            assert d not in got
+            continue
+        e = tuple(t) in train_digs
+        n = py_simhash(t) in train_shs
+        assert got[d] == (e, n, e or n), d
+    assert got["py"] == (False, True, True)
+    assert got["ey"] == (True, True, True)
