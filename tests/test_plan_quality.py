@@ -48,11 +48,16 @@ def test_event_filter_pushdown(spark):
     assert "PushedFilters" in scan and "event_type" in scan
 
 
-def test_knn_broadcasts_query_side(spark):
+def test_knn_scores_in_one_arrow_pass(spark):
+    """Round-8 shape: the query set is a collected dim table closed over
+    by ONE mapInArrow scoring pass; the corpus is never cross-joined row
+    by row (no BroadcastNestedLoopJoin) and never windowed whole — the
+    local prefilter bounds the Arrow stage's output at ~k per batch."""
     from tokforge.pipeline.similarity import q_knn_bruteforce
 
     plan = plan_of(q_knn_bruteforce(spark, SF_SMALL))
-    assert "BroadcastExchange" in plan or "Broadcast" in plan
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_lsh_join_reuses_signature_exchange(spark):

@@ -21,6 +21,9 @@ engines and rounded to 4 decimals so Spark and DuckDB hash-match.
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -86,11 +89,13 @@ def topk_per_key(
     )
 
 
-def knn_bruteforce(emb: DataFrame, queries: DataFrame, k_top: int = TOP_K) -> DataFrame:
-    """Exact cosine top-k of ``queries`` (qid, qvec) against a corpus
-    (vec_id, embedding): broadcast the query vectors against the corpus,
-    two-phase rank per query (local top-k then merge) — the corpus never
-    shuffles and no single reducer sees more than k * n_partitions rows."""
+def knn_bruteforce_reference(
+    emb: DataFrame, queries: DataFrame, k_top: int = TOP_K
+) -> DataFrame:
+    """The original HOF-expression scoring (broadcast cross-join +
+    interpreted `aggregate`/`zip_with` cosine).  Kept as the semantic
+    reference for tests/test_knn_arrow.py — the Arrow fast path below must
+    stay row-identical to this."""
     corpus = emb.select("vec_id", "embedding")
     joined = corpus.crossJoin(F.broadcast(queries)).filter(
         F.col("vec_id") != F.col("qid")
@@ -101,6 +106,172 @@ def knn_bruteforce(emb: DataFrame, queries: DataFrame, k_top: int = TOP_K) -> Da
         4,
     )
     scored = joined.select("qid", "vec_id", cos.alias("cos_sim"))
+    return topk_per_key(
+        scored, "qid", [F.desc("cos_sim"), F.col("vec_id")], k_top
+    ).select("qid", "vec_id", "cos_sim", "rank")
+
+
+# Derive-from-data collect cap (capped-with-error, the adjudicated
+# pattern): the query set is the broadcast-sized dim table by design.
+KNN_QUERY_CAP = 8192
+
+# Rounding-bucket slack for the local prefilter: keep any row whose
+# UNROUNDED cosine is within this of the k-th local best — a strict
+# superset of every row that can still tie/beat rank k after round(.,4)
+# (bucket width 1e-4; 2e-4 leaves >50x margin over double representation
+# fuzz of the thresholds).
+_KNN_PREFILTER_SLACK = 2e-4
+
+
+def knn_bruteforce(emb: DataFrame, queries: DataFrame, k_top: int = TOP_K) -> DataFrame:
+    """Exact cosine top-k of ``queries`` (qid, qvec) against a corpus
+    (vec_id, embedding) on the Arrow fast path.
+
+    The HOF-expression cosine (knn_bruteforce_reference) is interpreted by
+    Catalyst at ~0.5M element-ops/s; this path moves the identical IEEE
+    arithmetic into numpy inside ONE mapInArrow pass over the corpus:
+
+    - the bounded query set is collected (it is the broadcast dim table;
+      KNN_QUERY_CAP raises past the cap rather than collect unbounded),
+    - per corpus batch the dot/norm folds run as 64 vectorized adds in
+      EXACTLY the left-to-right IEEE order of F.aggregate's fold, so the
+      unrounded double is bit-identical to the expression result,
+    - a conservative local top-k prefilter (threshold = k-th local best
+      minus _KNN_PREFILTER_SLACK, NaNs kept — Spark sorts NaN above all
+      doubles) bounds the Arrow stage's output at ~k rows per (query,
+      batch): the corpus never leaves its scan task,
+    - round(.,4) then happens JVM-SIDE on the bit-identical double (same
+      BigDecimal HALF_UP as before), and the existing two-phase rank
+      (topk_per_key) assigns final ranks over the tiny survivor set.
+
+    Rows whose embedding length differs from the query's produce NULL
+    cosine (zip_with's null-padding semantics); they rank below every
+    number and are emitted only when a batch has fewer than k_top
+    length-matched candidates, preserving exact parity on degenerate
+    inputs.  tests/test_knn_arrow.py pins row-identity to the reference
+    on every fixture SF plus ragged/NaN edge corpora."""
+    from typing import Iterator
+
+    import pyarrow as pa
+
+    qrows = queries.select("qid", "qvec").collect()
+    if len(qrows) > KNN_QUERY_CAP:
+        raise ValueError(
+            f"knn_bruteforce query set has {len(qrows)} rows, above the "
+            f"broadcast-shaped cap {KNN_QUERY_CAP}; shard the query set"
+        )
+    q_ids = [r["qid"] for r in qrows]
+    # None qvec => every cosine for that query is NULL (zip_with/aggregate
+    # null semantics); kept as None so the batch fn routes it to the
+    # null-cosine path.
+    q_vecs = [
+        [float(x) for x in r["qvec"]] if r["qvec"] is not None else None
+        for r in qrows
+    ]
+    # sequential-fold query norms: same op order as _norm_spark
+    q_norms = []
+    for v in q_vecs:
+        if v is None:
+            q_norms.append(0.0)
+            continue
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x
+        q_norms.append(math.sqrt(acc))
+
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    qid_pa = to_arrow_type(queries.schema["qid"].dataType)
+    vid_pa = to_arrow_type(emb.schema["vec_id"].dataType)
+    qid_ddl = queries.schema["qid"].dataType.simpleString()
+    vid_ddl = emb.schema["vec_id"].dataType.simpleString()
+    spark = emb.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def fn(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            m = batch.num_rows
+            if m == 0:
+                continue
+            col = batch.column("embedding")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = col.values.to_numpy(zero_copy_only=False)
+            flat = flat[offsets[0] : offsets[-1]]
+            offsets = offsets - offsets[0]
+            lens = np.diff(offsets)
+            null_rows = np.asarray(col.is_null().to_numpy(zero_copy_only=False))
+            vec_ids = batch.column("vec_id").to_pylist()
+            vec_np = np.asarray(vec_ids, dtype=object)
+
+            out_qid: list = []
+            out_vid: list = []
+            out_cos: list = []
+
+            for j, qid in enumerate(q_ids):
+                elig = np.asarray([v != qid for v in vec_ids], dtype=bool)
+                if q_vecs[j] is None:
+                    matched = np.zeros(m, dtype=bool)
+                else:
+                    dq = len(q_vecs[j])
+                    matched = elig & (lens == dq) & ~null_rows
+                idx = np.nonzero(matched)[0]
+                if idx.size:
+                    # gather the length-dq rows into an (r, dq) float64 matrix
+                    gat = offsets[idx][:, None] + np.arange(dq, dtype=np.int64)
+                    mat = flat[gat].astype(np.float64)
+                    qv = np.asarray(q_vecs[j], dtype=np.float64)
+                    dot = np.zeros(idx.size, dtype=np.float64)
+                    nrm = np.zeros(idx.size, dtype=np.float64)
+                    for i in range(dq):
+                        ci = mat[:, i]
+                        np.add(dot, qv[i] * ci, out=dot)
+                        np.add(nrm, ci * ci, out=nrm)
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        cos = dot / (q_norms[j] * np.sqrt(nrm))
+                    nan_mask = np.isnan(cos)
+                    finite = cos[~nan_mask]
+                    if finite.size > k_top:
+                        kth = np.partition(finite, finite.size - k_top)[
+                            finite.size - k_top
+                        ]
+                        keep = (cos >= kth - _KNN_PREFILTER_SLACK) | nan_mask
+                    else:
+                        keep = np.ones(idx.size, dtype=bool)
+                    for p in np.nonzero(keep)[0]:
+                        out_qid.append(qid)
+                        out_vid.append(vec_ids[idx[p]])
+                        out_cos.append(float(cos[p]))
+                if idx.size < k_top:
+                    # fewer than k length-matched candidates IN THIS BATCH:
+                    # NULL-cosine rows could still enter the top-k, emit them
+                    for p in np.nonzero(elig & ~matched)[0]:
+                        out_qid.append(qid)
+                        out_vid.append(vec_np[p])
+                        out_cos.append(None)
+
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_qid, type=qid_pa),
+                    pa.array(out_vid, type=vid_pa),
+                    pa.array(out_cos, type=pa.float64()),
+                ],
+                names=["qid", "vec_id", "cos_un"],
+            )
+
+    # the corpus scan may be a single unsplittable parquet row group; the
+    # rows are narrow (id + dim floats), so a round-robin exchange is the
+    # cheap way to spread the numpy scoring across the session's
+    # parallelism (scale-adaptive: follows spark.sql.shuffle.partitions)
+    pre = (
+        emb.select("vec_id", "embedding")
+        .repartition(n_part)
+        .mapInArrow(fn, f"qid {qid_ddl}, vec_id {vid_ddl}, cos_un double")
+    )
+    scored = pre.select(
+        "qid", "vec_id", F.round(F.col("cos_un"), 4).alias("cos_sim")
+    )
     return topk_per_key(
         scored, "qid", [F.desc("cos_sim"), F.col("vec_id")], k_top
     ).select("qid", "vec_id", "cos_sim", "rank")
