@@ -235,6 +235,121 @@ def simhash_arrow(req: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Fused synthesis + hash (round-8 optimization).  The request stream is
+# DERIVED data: tokens[i] = (doc_id*MUL_A + i*MUL_B) % VOCAB with n from
+# the doc_id%4 ladder (sources/requests.py, mirrored by the oracle CTE).
+# Materializing that array via interpreted HOF expressions on top of an
+# unsplittable single-row-group scan made the dedup hash queries serial
+# AND shipped the full token arrays through the exchange.  These paths
+# shuffle ONLY doc_id (guide §2.3 "shuffle keys, not payloads"), then
+# synthesize the exact same integer token matrix in numpy inside the same
+# Arrow pass that hashes it — identical math, oracles unchanged
+# (tests/test_dedup_synth.py pins row-identity to the unfused paths).
+# ---------------------------------------------------------------------------
+
+
+def _synth_request_ids(
+    spark: SparkSession, sf_dir: str, replicas: int = 1
+) -> DataFrame:
+    """Replica-extended NUMERIC doc_ids of the synthesized request table,
+    spread across the session's parallelism (the documents scan is a
+    single unsplittable row group; the rows here are one int64 each, so
+    the round-robin exchange is ~free)."""
+    from tokforge.sources.requests import REPLICA_STRIDE
+
+    docs = load_documents(spark, sf_dir).select("doc_id")
+    if replicas > 1:
+        reps = spark.range(replicas).select(F.col("id").alias("rep"))
+        docs = docs.crossJoin(F.broadcast(reps)).select(
+            (F.col("doc_id") + F.col("rep") * F.lit(REPLICA_STRIDE)).alias("doc_id")
+        )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return docs.repartition(n_part)
+
+
+def _synth_token_groups(doc_ids: "np.ndarray"):
+    """Yield (row_mask, (m_g, n) int64 token matrix) per length-ladder
+    class — the numpy twin of sources.requests.tokens_col/n_tok_col."""
+    from tokforge.sources.requests import LEN_LADDER, MUL_A, MUL_B
+    from tokforge.constants import VOCAB
+
+    c = doc_ids % 4
+    for ci, n in enumerate(LEN_LADDER):
+        mask = c == ci
+        if not mask.any():
+            continue
+        idx = np.arange(n, dtype=np.int64)
+        toks = (doc_ids[mask][:, None] * MUL_A + idx[None, :] * MUL_B) % VOCAB
+        yield mask, toks
+
+
+def q_simhash_synth(ids: DataFrame) -> DataFrame:
+    """doc_id + 16-bit SimHash with token synthesis fused into the Arrow
+    pass — same bit votes as simhash_arrow (h = (x*MULT) % MOD, +-1 per
+    bit, majority > 0), no token array ever crosses the JVM boundary."""
+    from typing import Iterator
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            d_arr = batch.column("doc_id")
+            d = d_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+            sh = np.zeros(len(d), dtype=np.int64)
+            for mask, toks in _synth_token_groups(d):
+                h = (toks * SIMHASH_MULT) % SIMHASH_MOD
+                n = toks.shape[1]
+                acc = np.zeros(toks.shape[0], dtype=np.int64)
+                for bit in range(SIMHASH_BITS):
+                    ones = ((h >> bit) & 1).sum(axis=1)
+                    acc += ((2 * ones - n) > 0) * (1 << bit)
+                sh[mask] = acc
+            yield pa.RecordBatch.from_arrays(
+                [pc.cast(d_arr, pa.string()), pa.array(sh, type=pa.int64())],
+                names=["doc_id", "simhash16"],
+            )
+
+    return ids.mapInArrow(fn, "doc_id string, simhash16 long")
+
+
+def signatures_synth(ids: DataFrame, feature_space: int | None) -> DataFrame:
+    """doc_id + MinHash signature with token synthesis fused into the
+    Arrow pass — identical shingle/minhash integer math to
+    signatures_arrow.  Every ladder length >= SHINGLE_K, so no NULL-sig
+    rows exist on this path (the ladder starts at 6)."""
+    from typing import Iterator
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            d_arr = batch.column("doc_id")
+            d = d_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+            m = len(d)
+            sig = np.zeros((m, N_HASHES), dtype=np.int64)
+            for mask, toks in _synth_token_groups(d):
+                a, b, c = toks[:, :-2], toks[:, 1:-1], toks[:, 2:]
+                g = ((a * 50261 + b) % P * 50261 + c) % P
+                if feature_space is not None:
+                    g = g % feature_space
+                for j in range(N_HASHES):
+                    hj = (g * A[j] + B[j]) % P
+                    sig[mask, j] = hj.min(axis=1)
+            flat = sig.reshape(-1)
+            offs = np.arange(0, (m + 1) * N_HASHES, N_HASHES, dtype=np.int32)
+            arr = pa.ListArray.from_arrays(
+                pa.array(offs, type=pa.int32()), pa.array(flat, type=pa.int64())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pc.cast(d_arr, pa.string()), arr], names=["doc_id", "sig"]
+            )
+
+    return ids.mapInArrow(fn, "doc_id string, sig array<long>")
+
+
 def _materialized_requests(
     spark: SparkSession, sf_dir: str, label: str, replicas: int = 1
 ) -> DataFrame:
@@ -251,9 +366,8 @@ def _materialized_requests(
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signature (8 hashes over 3-token shingles), computed
-    on the Arrow fast path (signatures_arrow)."""
-    req = _materialized_requests(spark, sf_dir, "minhash")
-    df = signatures_arrow(req, feature_space=None)
+    on the fused synthesis+hash Arrow path (signatures_synth)."""
+    df = signatures_synth(_synth_request_ids(spark, sf_dir), feature_space=None)
     return df.select(
         "doc_id",
         *[F.element_at("sig", j + 1).alias(f"h{j}") for j in range(N_HASHES)],
@@ -285,14 +399,14 @@ def _sig_cached(spark: SparkSession, sf_dir: str, replicas: int) -> DataFrame:
     hit = _SIG_CACHE.get(key)
     if hit is not None:
         return hit
-    req = _materialized_requests(spark, sf_dir, "minhash", replicas).filter(
-        F.col("n_tok") >= SHINGLE_K
-    )
-    sig = (
-        signatures_arrow(req, FEATURE_SPACE)
-        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
-        .persist()
-    )
+    # fused synthesis+hash: only int64 doc_ids cross the exchange (the
+    # n_tok >= SHINGLE_K filter is a no-op on the length ladder, min 6);
+    # _synth_request_ids already spreads rows across the session's
+    # parallelism, so the Arrow pass is the materialization the persist
+    # pins for both self-join sides
+    sig = signatures_synth(
+        _synth_request_ids(spark, sf_dir, replicas), FEATURE_SPACE
+    ).persist()
     _SIG_CACHE[key] = sig
     return sig
 
@@ -423,8 +537,9 @@ def _sql_lsh_pairs() -> str:
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash over token ids: per-bit majority vote of hashed
-    features, computed on the Arrow fast path (simhash_arrow)."""
-    return simhash_arrow(requests_df(spark, sf_dir, "simhash"))
+    features, computed on the fused synthesis+hash Arrow path
+    (q_simhash_synth — the token arrays never leave the Python worker)."""
+    return q_simhash_synth(_synth_request_ids(spark, sf_dir))
 
 
 def sql_simhash_expr(tokens: str = "tokens") -> str:
