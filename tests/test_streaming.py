@@ -153,31 +153,46 @@ def test_checkpoint_resume_processes_only_new_data(spark, tmp_path):
 
 
 def test_cache_ttl_eviction(spark, tmp_path):
-    in_path, out_dir, ckpt = (
-        str(tmp_path / "in"),
-        str(tmp_path / "out"),
-        str(tmp_path / "ckpt"),
-    )
-    req = _signed_requests(spark, limit=5)
-    req.write.mode("append").parquet(f"{in_path}/drop=0")
-    q1, _ = transform_stream(
-        spark, in_path, out_dir, ckpt, CFG, verify=False, ttl_ms=500
-    )
-    _finish(q1)
-    time.sleep(1.5)  # let the processing-time TTL lapse
-    req.withColumn("ts", (F.unix_timestamp("ts") + 600).cast("timestamp")).write.mode(
-        "append"
-    ).parquet(f"{in_path}/drop=1")
-    q2, _ = transform_stream(
-        spark, in_path, out_dir, ckpt, CFG, verify=False, ttl_ms=500
-    )
-    _finish(q2)
-    statuses = (
-        read_sink(spark, out_dir)
-        .groupBy("cache_status")
-        .count()
-        .rdd.collectAsMap()
-    )
+    """Processing-time TTL end-to-end.  The two-stream + sleep design is
+    inherently exposed to the StateStoreCoordinator commit-validation
+    race in a long-lived shared session (r7 verdict: one flake in 840 —
+    \"Expected N commits but got 0\" on the second stream), so the WHOLE
+    scenario retries once under a fresh base dir on a streaming failure;
+    partial retries are unsound (a fresh checkpoint would replay batch
+    ids the idempotent sink has already committed)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    def scenario(base):
+        in_path, out_dir, ckpt = (
+            str(base / "in"),
+            str(base / "out"),
+            str(base / "ckpt"),
+        )
+        req = _signed_requests(spark, limit=5)
+        req.write.mode("append").parquet(f"{in_path}/drop=0")
+        q1, _ = transform_stream(
+            spark, in_path, out_dir, ckpt, CFG, verify=False, ttl_ms=500
+        )
+        _finish(q1)
+        time.sleep(1.5)  # let the processing-time TTL lapse
+        req.withColumn(
+            "ts", (F.unix_timestamp("ts") + 600).cast("timestamp")
+        ).write.mode("append").parquet(f"{in_path}/drop=1")
+        q2, _ = transform_stream(
+            spark, in_path, out_dir, ckpt, CFG, verify=False, ttl_ms=500
+        )
+        _finish(q2)
+        return (
+            read_sink(spark, out_dir)
+            .groupBy("cache_status")
+            .count()
+            .rdd.collectAsMap()
+        )
+
+    try:
+        statuses = scenario(tmp_path / "try0")
+    except StreamingQueryException:
+        statuses = scenario(tmp_path / "try1")
     # state evicted between runs -> second drop recomputes (all MISS)
     assert statuses.get("MISS", 0) == 10 and statuses.get("HIT", 0) == 0
 
@@ -1079,3 +1094,40 @@ def test_gated_stream_query_fixture_memoized(spark, tmp_path, monkeypatch):
     assert dirs_after_second == dirs_after_first  # reused, not rebuilt
     key_rows = lambda rows: sorted(tuple(r) for r in rows)
     assert key_rows(second) == key_rows(first)
+
+
+def test_cache_bucket_count_invariance(spark, tmp_path):
+    """Round-8: the state bucket count is a pure compaction dial (now
+    call-time resolved / scale-adaptive) — the served rows must be
+    IDENTICAL for any bucket count, since per-key HIT/MISS logic never
+    depends on which group a key hashes into."""
+    from tokforge.streaming.cache_state import with_cache_state
+
+    req = _signed_requests(spark)
+    outs = []
+    for buckets in (1, 7, 4096):
+        in_path = str(tmp_path / f"in{buckets}")
+        out_dir = str(tmp_path / f"out{buckets}")
+        _write_drops(spark, req, in_path, n=2)
+        stream = spark.readStream.schema(
+            spark.read.option("recursiveFileLookup", "true").parquet(in_path).schema
+        ).option("recursiveFileLookup", "true").parquet(in_path)
+        cached = with_cache_state(
+            stream.withWatermark("ts", "10 minutes"), CFG, buckets=buckets
+        )
+        q = (
+            cached.writeStream.foreachBatch(IdempotentParquetSink(out_dir))
+            .option("checkpointLocation", str(tmp_path / f"ck{buckets}"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _finish(q)
+        rows = sorted(
+            (r["cache_key"], r["doc_id"], r["ts"], r["cache_status"],
+             tuple(r["tokens_out"] or ()), r["n_out"], r["dtype"], r["error"])
+            for r in read_sink(spark, out_dir).drop("batch_id").collect()
+        )
+        outs.append(rows)
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) == 80

@@ -232,13 +232,17 @@ def with_info_state(
     requests: DataFrame,
     config: EngineConfig = DEFAULT_CONFIG,
     ttl_ms: int = 0,
-    buckets: int = DEFAULT_BUCKETS,
+    buckets: int | None = None,
     capacity: int | None = None,
 ) -> DataFrame:
     """Attach the info-cache state to a (streaming) request DataFrame.
     Shuffles once on the doc_id HASH BUCKET — a DIFFERENT key space than
     the result cache's cache_key buckets, which is what makes it a genuine
-    second namespace."""
+    second namespace.  Bucket count resolves at call time
+    (cache_state.resolve_buckets: env dial / scale-adaptive default)."""
+    from tokforge.streaming.cache_state import resolve_buckets
+
+    buckets = resolve_buckets(buckets, requests)
     keyed = requests.withColumn(
         "_bucket", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(buckets))
     )

@@ -232,11 +232,17 @@ def with_lsh_state(
     stream: DataFrame,
     threshold: float = DEFAULT_THRESHOLD,
     horizon_ms: int = DEFAULT_HORIZON_MS,
-    buckets: int = DEFAULT_BUCKETS,
+    buckets: int | None = None,
 ) -> DataFrame:
     """Attach the streaming LSH index to a request stream: one shuffle on
-    the band-bucket hash (state compaction — same pattern as the cache's
-    16,384 buckets), per-(doc, band) verdict rows out."""
+    the band-bucket hash (state compaction — same pattern as the result
+    cache's buckets; count resolves at call time via
+    cache_state.resolve_buckets).  All rows of one (band_idx, band_val)
+    hash to the same bucket for ANY bucket count, so the verdicts are
+    bucket-count invariant."""
+    from tokforge.streaming.cache_state import resolve_buckets
+
+    buckets = resolve_buckets(buckets, stream)
     bands = banded(signatures_with_ts(stream)).withColumn(
         "_bucket",
         F.pmod(F.xxhash64(F.col("band_idx"), F.col("band_val")), F.lit(buckets)),
@@ -294,7 +300,7 @@ def lsh_dedup_stream(
     checkpoint_dir: str,
     threshold: float = DEFAULT_THRESHOLD,
     horizon_ms: int = DEFAULT_HORIZON_MS,
-    buckets: int = DEFAULT_BUCKETS,
+    buckets: int | None = None,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
 ):
