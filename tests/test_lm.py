@@ -22,14 +22,11 @@ V = 1000  # small vocab constant for the hand corpus
 
 def _py_lm(corpus: dict, vocab_size: int) -> dict:
     big = Counter()
-    uni = Counter()
-    for t in corpus.values():
-        big.update(zip(t, t[1:]))
-        uni.update(t[:-1])
     # NB uni must count ALL tokens (the history count c_a is the
     # unigram frequency of a anywhere, matching token_frequencies)
     uni = Counter()
     for t in corpus.values():
+        big.update(zip(t, t[1:]))
         uni.update(t)
     out = {}
     for d, t in corpus.items():

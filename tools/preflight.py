@@ -11,6 +11,10 @@ Checks:
    timestamp / struct / map cells — the harness canonicalizer cannot
    sort those); streaming queries are skipped (execute on build, known
    scalar schemas)
+4. driver-collect audit — every `.collect()` call site in tokforge/ is
+   in the audited-bounded allowlist below (round-7 verdict: an
+   unbounded `orderBy().collect()` in a gated path is a scale-killer;
+   new sites must be audited for a cap and added here)
 Full value-equality lives in tools/check_correctness.py (~8 min).
 """
 
@@ -30,6 +34,46 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
+# Audited driver-collect sites: path -> max allowed `.collect()` call
+# sites.  Each is bounded: a `.limit(k)` prefix, a constant-size filter
+# (centroids / query caps raising past a cap), or a k-row aggregate.
+# A count above the cap means a NEW collect landed — audit it for
+# boundedness before raising the number.
+COLLECT_ALLOWLIST = {
+    "pipeline/stats.py": 1,       # vocab_top(v): rank<=v bounded
+    "pipeline/interleave.py": 2,  # limit(max_strata+1) x2, raise past cap
+    "pipeline/bpe.py": 1,         # per-round limit(k)
+    "pipeline/corpusops.py": 1,   # _greedy_disjoint_picks growing limit()
+    "pipeline/similarity.py": 7,  # centroid/query dim tables: constant
+                                  # filters, limit(k), k-row aggs, query
+                                  # cap raising past KNN_QUERY_CAP
+}
+
+
+def audit_collect_sites() -> list[str]:
+    import re
+
+    root = Path(__file__).resolve().parent.parent / "tokforge"
+    problems: list[str] = []
+    counts: dict[str, int] = {}
+    for p in root.rglob("*.py"):
+        n = len(re.findall(r"\.collect\(\)", p.read_text()))
+        if n:
+            counts[str(p.relative_to(root))] = n
+    for rel, n in sorted(counts.items()):
+        cap = COLLECT_ALLOWLIST.get(rel)
+        if cap is None:
+            problems.append(
+                f"collect audit: {rel} has {n} .collect() site(s) but is "
+                "not in the audited allowlist — verify boundedness"
+            )
+        elif n > cap:
+            problems.append(
+                f"collect audit: {rel} has {n} .collect() sites, "
+                f"allowlist caps it at {cap} — audit the new site(s)"
+            )
+    return problems
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -48,6 +92,8 @@ def main() -> int:
     extra = set(oracles) - set(qs)
     if extra:
         failures.append(f"oracles without a query: {sorted(extra)}")
+
+    failures.extend(audit_collect_sites())
 
     import duckdb
 
