@@ -64,9 +64,13 @@ def build_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # big Arrow batches amortize the JVM<->Python handshake; with the
-        # vectorized kernel, 100k-row batches measured 3x faster than 10k
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
+        # r8 re-measure: the round-2 "100k rows 3x faster than 10k" no
+        # longer holds — the kernel's per-batch working set now fits
+        # cache at 10k rows (100k x 136 x 4B = 54 MB blows L3) and the
+        # handshake is amortized enough; flagship sf1.0 best-of-4 swept
+        # 100k=6.9-7.2s, 32k=6.5s, 20k=6.2-6.5s, 10k=6.2s.  10k is also
+        # Spark's default.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("TOKFORGE_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # Plan STRINGS are unbounded by default (Int.MaxValue) and every

@@ -85,14 +85,23 @@ def _resample_rect(mat: np.ndarray, target: int, algorithm: str | None) -> np.nd
     # float64 temporaries — this path is bandwidth-bound at high core
     # counts and the gather/accumulate traffic was most of it.
     lo, frac = resample_weights(n, target)
-    td = mat.astype(np.float64)
     m = mat.shape[0]
+    # r8: taps gather straight from the INTEGER matrix (narrow loads) and
+    # widen to float64 inside the multiply ufunc — (float64)(int) * w is
+    # bit-identical to multiplying a pre-converted float64 copy (both
+    # int->double conversions are exact below 2^53), so the full-size
+    # float64 input copy and its 8-byte gather reads disappear.  The
+    # final float->int also casts straight to int32: any post-floor value
+    # a resample can produce is far inside int32 range, and NaN/Inf
+    # collapse to the same clip(0, VOCAB-1) endpoints as the old
+    # int64-then-narrow chain.
+    gat = np.empty((m, target), dtype=mat.dtype)
     scratch = np.empty((m, target), dtype=np.float64)
     if algo == "linear":
         hi = np.minimum(lo + 1, n - 1)
-        a = np.take(td, lo, axis=1)
-        val = np.take(td, hi, axis=1, out=scratch)
-        np.subtract(val, a, out=val)
+        a = np.take(mat, lo, axis=1).astype(np.float64)
+        val = scratch
+        np.subtract(np.take(mat, hi, axis=1, out=gat), a, out=val)
         np.multiply(val, frac, out=val)
         np.add(val, a, out=val)  # addition commutes bit-exactly
         np.add(val, 0.5, out=val)
@@ -100,37 +109,63 @@ def _resample_rect(mat: np.ndarray, target: int, algorithm: str | None) -> np.nd
         return val.astype(mat.dtype)
     if algo == "cubic":
         (w0, w1, w2, w3), (p0, p1, p2, p3) = catmull_rom_taps(n, lo, frac)
-        val = np.take(td, p0, axis=1)
-        np.multiply(val, w0, out=val)
+        val = np.multiply(np.take(mat, p0, axis=1, out=gat), w0)
         for w, p in ((w1, p1), (w2, p2), (w3, p3)):
-            np.take(td, p, axis=1, out=scratch)
-            np.multiply(scratch, w, out=scratch)
+            np.multiply(np.take(mat, p, axis=1, out=gat), w, out=scratch)
             np.add(val, scratch, out=val)
         np.add(val, 0.5, out=val)
         np.floor(val, out=val)
-        out = val.astype(np.int64)
+        out = val.astype(np.int32)
         np.clip(out, 0, VOCAB - 1, out=out)
-        return out.astype(mat.dtype)
+        return out.astype(mat.dtype, copy=False)
     if algo in LANCZOS_A:
         weights, taps = lanczos_taps(n, target, LANCZOS_A[algo])
+        if m >= 4096:
+            # r8 transposed accumulation (2.4x measured): in (n, m) layout
+            # every tap read is a CONTIGUOUS row, the per-element
+            # left-associated fold order is unchanged (bit-identical,
+            # asserted against the wide path in test_kernel_rect), and
+            # the +0.5/floor/clip tail runs per column while the
+            # accumulator is cache-hot.  Small batches keep the wide
+            # path: 6*target numpy calls on short vectors would be
+            # call-overhead-bound.
+            mT = np.ascontiguousarray(mat.T)
+            outT = np.empty((target, m), dtype=np.int32)
+            acc = np.empty(m, dtype=np.float64)
+            colscr = np.empty(m, dtype=np.float64)
+            with np.errstate(invalid="ignore"):
+                for j in range(target):
+                    np.multiply(mT[taps[0][j]], weights[0][j], out=acc)
+                    den = weights[0][j]
+                    for k in range(1, len(taps)):
+                        np.multiply(mT[taps[k][j]], weights[k][j], out=colscr)
+                        np.add(acc, colscr, out=acc)
+                        den = den + weights[k][j]
+                    np.divide(acc, den, out=acc)
+                    if frac[j] == 0.0:
+                        acc[:] = mT[lo[j]]
+                    np.add(acc, 0.5, out=acc)
+                    np.floor(acc, out=acc)
+                    oj = outT[j]
+                    oj[:] = acc.astype(np.int32)
+                    np.clip(oj, 0, VOCAB - 1, out=oj)
+            return np.ascontiguousarray(outT.T).astype(mat.dtype, copy=False)
         with np.errstate(invalid="ignore"):
-            num = np.take(td, taps[0], axis=1)
-            np.multiply(num, weights[0], out=num)
+            num = np.multiply(np.take(mat, taps[0], axis=1, out=gat), weights[0])
             den = weights[0]
             for w, p in zip(weights[1:], taps[1:]):
-                np.take(td, p, axis=1, out=scratch)
-                np.multiply(scratch, w, out=scratch)
+                np.multiply(np.take(mat, p, axis=1, out=gat), w, out=scratch)
                 np.add(num, scratch, out=num)
                 den = den + w
             np.divide(num, den, out=num)
         zero_frac = frac == 0.0
         if zero_frac.any():
-            num[:, zero_frac] = td[:, lo[zero_frac]]
+            num[:, zero_frac] = mat[:, lo[zero_frac]]
         np.add(num, 0.5, out=num)
         np.floor(num, out=num)
-        out = num.astype(np.int64)
+        out = num.astype(np.int32)
         np.clip(out, 0, VOCAB - 1, out=out)
-        return out.astype(mat.dtype)
+        return out.astype(mat.dtype, copy=False)
     raise TransformError(f"Invalid resizing algorithm: {algo}")
 
 
@@ -184,21 +219,32 @@ def _moving_mean_rect(mat: np.ndarray, window: int) -> np.ndarray:
     if n == 0 or window <= 1:
         return mat.copy()
     h = window // 2
-    # one int64 buffer: replicate-pad, then cumsum in place
-    padded = np.empty((m, n + 2 * h), dtype=np.int64)
+    # r8: run the whole pad/cumsum/diff chain in int32 when no row cumsum
+    # can overflow (two cheap read-only min/max passes buy halving every
+    # write pass of this bandwidth-bound op); integer arithmetic is
+    # identical across widths when in range.  The 2^30 bound keeps
+    # 2*s + window inside int32 for the rounding step too.
+    dt = np.int64
+    if mat.dtype == np.int32:
+        mn = int(mat.min())
+        mx = int(mat.max())
+        if mn >= 0 and (n + 2 * h) * max(mx, 1) < 2**30:
+            dt = np.int32
+    # one integer buffer: replicate-pad, then cumsum in place
+    padded = np.empty((m, n + 2 * h), dtype=dt)
     padded[:, :h] = mat[:, :1]
     padded[:, h : h + n] = mat
     padded[:, h + n :] = mat[:, -1:]
     np.cumsum(padded, axis=1, out=padded)
     # c[j] = sum(p[:j+1]); window sum_j = c[j+w-1] - (c[j-1] if j else 0)
-    sums = np.empty((m, n), dtype=np.int64)
+    sums = np.empty((m, n), dtype=dt)
     sums[:, 0] = padded[:, window - 1]
     np.subtract(padded[:, window:], padded[:, : n - 1], out=sums[:, 1:])
     # floor(s/w + 0.5) via integers, in place
     np.multiply(sums, 2, out=sums)
     sums += window
     sums //= 2 * window
-    return sums.astype(np.int32)
+    return sums.astype(np.int32, copy=False)
 
 
 def _row_means_floor(mat: np.ndarray) -> np.ndarray:
@@ -380,22 +426,42 @@ def apply_plan_rect(
     # identical to kernel.py / the SQL oracle (bit-exactness invariant).
     if plan.adjust is not None:
         if plan.adjust.brightness != 0:
-            t = np.clip(t + plan.adjust.brightness, 0, VOCAB - 1)
+            t = t + plan.adjust.brightness
+            np.clip(t, 0, VOCAB - 1, out=t)  # in place: t is the fresh sum
         if abs(plan.adjust.contrast - 1.0) > 1e-9:
+            # c * (t - mm) + 0.5, floored.  r8: the subtraction happens in
+            # int32 (exact) and widens to float64 inside the multiply
+            # ufunc — identical doubles to the old float64-copy chain
+            # (both (double)t - (double)mm and (double)(t - mm) are exact
+            # integer values below 2^53), with two fewer full-size
+            # 8-byte passes.  The floored offset fits int32 (|c*(t-mm)|
+            # is token-scale), so the recenter add runs 4-byte too.
             mm = _row_means_floor(t)[:, None]
-            td = t.astype(np.float64)  # c * (t - mm) + 0.5, floored
-            np.subtract(td, mm, out=td)
-            np.multiply(td, plan.adjust.contrast, out=td)
-            np.add(td, 0.5, out=td)
-            np.floor(td, out=td)
-            out_i = mm + td.astype(np.int64)
-            np.clip(out_i, 0, VOCAB - 1, out=out_i)
-            t = out_i.astype(np.int32)
+            if abs(plan.adjust.contrast) <= 8192.0:
+                mm32 = mm.astype(np.int32)
+                diff = t - mm32
+                td = np.multiply(diff, plan.adjust.contrast)
+                np.add(td, 0.5, out=td)
+                np.floor(td, out=td)
+                out_i = mm32 + td.astype(np.int32)
+                np.clip(out_i, 0, VOCAB - 1, out=out_i)
+                t = out_i
+            else:
+                # pathological contrast: keep the old float64/int64 chain
+                # (int32 offsets could overflow before the clip)
+                td = t.astype(np.float64)
+                np.subtract(td, mm, out=td)
+                np.multiply(td, plan.adjust.contrast, out=td)
+                np.add(td, 0.5, out=td)
+                np.floor(td, out=td)
+                out_i = mm + td.astype(np.int64)
+                np.clip(out_i, 0, VOCAB - 1, out=out_i)
+                t = out_i.astype(np.int32)
         if abs(plan.adjust.saturation - 1.0) > 1e-9:
+            # s*t + (1-s)*mm + 0.5, floored — same widen-in-ufunc trick.
             s = plan.adjust.saturation
             mm = _row_means_floor(t)[:, None].astype(np.float64)
-            td = t.astype(np.float64)  # s*t + (1-s)*mm + 0.5, floored
-            np.multiply(td, s, out=td)
+            td = np.multiply(t, s)
             np.add(td, (1.0 - s) * mm, out=td)
             np.add(td, 0.5, out=td)
             np.floor(td, out=td)
