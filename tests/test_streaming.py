@@ -318,6 +318,63 @@ def test_cache_capacity_lru_eviction(spark):
     assert len(st2.value[0]) == 2
 
 
+def test_pure_hit_batch_skips_state_rewrite(spark):
+    """r8 state-churn cut: with TTL and capacity both OFF, an invocation
+    that only serves HITs changes nothing observable (no expiry, no
+    eviction), so the bucket's entry table must NOT be re-serialized into
+    the state store — a sustained replay otherwise rewrites the ENTIRE
+    state once per micro-batch.  With ttl_ms > 0 or capacity > 0 the
+    write must stay unconditional (recency then drives expiry/eviction).
+    Outputs are identical either way."""
+    from tokforge.streaming.cache_state import make_cache_state_func
+    from tokforge.streaming.info_state import make_info_state_func
+
+    class _CountingState(_StubGroupState):
+        def __init__(self):
+            super().__init__()
+            self.update_count = 0
+
+        def update(self, v):
+            self.update_count += 1
+            super().update(v)
+
+    for make, status_col in (
+        (make_cache_state_func, "cache_status"),
+        (make_info_state_func, "info_status"),
+    ):
+        # ttl=0, capacity=0: second (pure-HIT) invocation must not write
+        fn = make(CFG, ttl_ms=0, capacity=0)
+        state = _CountingState()
+        batch = _one_request_batch(spark, ["ka", "kb"], doc_ids=["da", "db"])
+        out1 = list(fn((0,), iter([batch]), state))
+        assert state.update_count == 1
+        out2 = list(fn((0,), iter([batch]), state))
+        assert state.update_count == 1, "pure-HIT batch must skip the write"
+        assert list(out2[0][status_col]) == ["HIT", "HIT"]
+        # a new key makes the invocation dirty again -> write
+        batch3 = _one_request_batch(
+            spark, ["ka", "kc"], doc_ids=["da", "dc"]
+        )
+        list(fn((0,), iter([batch3]), state))
+        assert state.update_count == 2
+
+        # capacity > 0: pure-HIT invocations must keep writing (recency
+        # feeds LRU eviction)
+        fn_cap = make(CFG, ttl_ms=0, capacity=8)
+        st_cap = _CountingState()
+        list(fn_cap((0,), iter([batch]), st_cap))
+        list(fn_cap((0,), iter([batch]), st_cap))
+        assert st_cap.update_count == 2
+
+        # ttl > 0: pure-HIT invocations must keep writing + re-arming
+        fn_ttl = make(CFG, ttl_ms=100000, capacity=0)
+        st_ttl = _CountingState()
+        list(fn_ttl((0,), iter([batch]), st_ttl))
+        list(fn_ttl((0,), iter([batch]), st_ttl))
+        assert st_ttl.update_count == 2
+        assert st_ttl.timeout_set_count == 2
+
+
 def test_info_capacity_lru_eviction(spark):
     """Same capacity bound on the SECOND namespace (info cache, keyed by
     doc_id) — both reference namespaces live in one capacity-bounded

@@ -200,6 +200,7 @@ def make_cache_state_func(
         # RECT kernel (the transform_arrow bucketing pattern): a cold cache
         # or miss storm pays vectorized cost, never per-row Python
         # (service.rs:312-322 compute-and-insert).
+        inserted = False
         miss_groups: dict[tuple, list[int]] = {}
         for ck, i in first_of.items():
             miss_groups.setdefault(
@@ -237,6 +238,7 @@ def make_cache_state_func(
                 toks_out[i] = cached
                 n_out[i] = width
                 dtypes[i] = result.dtype
+            inserted = True
 
         # Pass 3 — duplicates serve their computing row's result (HIT, like
         # a state hit) or replay its error.
@@ -266,19 +268,31 @@ def make_cache_state_func(
                 del entries[k]
 
         if entries:
-            ks = list(entries.keys())
-            state.update(
-                (
-                    ks,
-                    [entries[k][1] for k in ks],
-                    [entries[k][0] for k in ks],
-                    [entries[k][2] for k in ks],
+            # Pure-HIT skip (r8): with TTL and capacity both OFF, the only
+            # thing an all-hits invocation changed is last-access
+            # refreshes, which nothing can ever observe (no expiry, no
+            # eviction) — so the bucket's full entry table need not be
+            # re-serialized into the state store.  A sustained replay
+            # where every key repeats (the bench's 6 event-time drops)
+            # otherwise rewrites the ENTIRE state once per micro-batch.
+            # With ttl_ms > 0 (recency drives expiry + the timeout re-arm)
+            # or capacity > 0 (recency drives LRU eviction, which changes
+            # future HIT/MISS output) the write stays unconditional.
+            if inserted or ttl_ms > 0 or capacity > 0 or not state.exists:
+                ks = list(entries.keys())
+                state.update(
+                    (
+                        ks,
+                        [entries[k][1] for k in ks],
+                        [entries[k][0] for k in ks],
+                        [entries[k][2] for k in ks],
+                    )
                 )
-            )
-            if ttl_ms > 0:
-                # re-arm the bucket-idle timeout on EVERY invocation (Spark
-                # clears a pending timeout when the function runs)
-                state.setTimeoutDuration(ttl_ms)
+                if ttl_ms > 0:
+                    # re-arm the bucket-idle timeout on EVERY invocation
+                    # (Spark clears a pending timeout when the function
+                    # runs)
+                    state.setTimeoutDuration(ttl_ms)
         elif state.exists:
             state.remove()
 

@@ -142,6 +142,7 @@ def make_info_state_func(
             else:
                 dup_of[i] = j
 
+        inserted = False
         miss_groups: dict[tuple, list[int]] = {}
         for _doc, i in first_of.items():
             miss_groups.setdefault(
@@ -177,6 +178,7 @@ def make_info_state_func(
                 entries[doc_ids[i]] = ent
                 statuses[i] = "MISS"
                 n_out[i], dtypes[i], sizes[i] = ent[0], ent[1], ent[2]
+            inserted = True
 
         for i in np.nonzero(dup_of >= 0)[0]:
             j = dup_of[i]
@@ -196,20 +198,23 @@ def make_info_state_func(
                 del entries[k]
 
         if entries:
-            ks = list(entries.keys())
-            state.update(
-                (
-                    ks,
-                    [entries[k][0] for k in ks],
-                    [entries[k][1] for k in ks],
-                    [entries[k][2] for k in ks],
-                    [entries[k][3] for k in ks],
+            # pure-HIT skip with TTL and capacity both off: recency
+            # refreshes are unobservable then — see cache_state.py (r8)
+            if inserted or ttl_ms > 0 or capacity > 0 or not state.exists:
+                ks = list(entries.keys())
+                state.update(
+                    (
+                        ks,
+                        [entries[k][0] for k in ks],
+                        [entries[k][1] for k in ks],
+                        [entries[k][2] for k in ks],
+                        [entries[k][3] for k in ks],
+                    )
                 )
-            )
-            if ttl_ms > 0:
-                # re-arm on every invocation (Spark clears the pending
-                # timeout when the function runs; see cache_state.py)
-                state.setTimeoutDuration(ttl_ms)
+                if ttl_ms > 0:
+                    # re-arm on every invocation (Spark clears the pending
+                    # timeout when the function runs; see cache_state.py)
+                    state.setTimeoutDuration(ttl_ms)
         elif state.exists:
             state.remove()
 
