@@ -820,7 +820,11 @@ def sql_connected_components() -> str:
     sum(|component|^2), fine at oracle SFs — the ENGINE keeps the
     contraction algorithm, this is the independent semantic rendering
     (upgrades the clustering from union-find-pytest-only to fully
-    SQL-mirrored)."""
+    SQL-mirrored).  If oracle SFs ever grow a large LSH component, switch
+    the CTE to min-label PROPAGATION — carry only the per-node minimum
+    label per round (GROUP BY n, min(lbl) against the frontier) — which
+    bounds working rows at |V| per round instead of pairwise
+    reachability (r7 advisor note)."""
     return f"""WITH RECURSIVE {_lsh_ctes()},
 und AS (
   SELECT doc_a AS a, doc_b AS b FROM cand
