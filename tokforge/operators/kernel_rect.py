@@ -150,9 +150,14 @@ def _resample_rect(mat: np.ndarray, target: int, algorithm: str | None) -> np.nd
                         acc[:] = mT[lo[j]]
                     np.add(acc, 0.5, out=acc)
                     np.floor(acc, out=acc)
-                    oj = outT[j]
-                    oj[:] = acc.astype(np.int32)
-                    np.clip(oj, 0, VOCAB - 1, out=oj)
+                    # r8 session 3: cast straight into the output row (same
+                    # unsafe float64->int32 C cast as astype, no per-column
+                    # temp) and clip the whole matrix once after the loop —
+                    # clipping ints per column vs at the end is identical,
+                    # measured ~13% off the resample (4.70 -> 4.04 ms at
+                    # 6->128 x 2500 rows)
+                    outT[j] = acc
+            np.clip(outT, 0, VOCAB - 1, out=outT)
             return np.ascontiguousarray(outT.T).astype(mat.dtype, copy=False)
         with np.errstate(invalid="ignore"):
             num = np.multiply(np.take(mat, taps[0], axis=1, out=gat), weights[0])
@@ -234,11 +239,26 @@ def _moving_mean_rect(mat: np.ndarray, window: int) -> np.ndarray:
         mx = int(mat.max())
         if mn >= 0 and (n + 2 * h) * max(mx, 1) < 2**30:
             dt = np.int32
-    # one integer buffer: replicate-pad, then cumsum in place
+    # one integer buffer: replicate-pad
     padded = np.empty((m, n + 2 * h), dtype=dt)
     padded[:, :h] = mat[:, :1]
     padded[:, h : h + n] = mat
     padded[:, h + n :] = mat[:, -1:]
+    if window <= 8:
+        # r8 session 3: for the small windows blur/sharpen actually use
+        # (w = 2*ceil(sigma)+1, typically 3-7) w-1 SIMD adds of shifted
+        # views beat the cumsum's per-row serial dependency chain
+        # (measured w=3: 0.75 vs 1.61 ms, w=5: 1.04 vs 1.61 ms per
+        # 2500x136 int32; crossover ~w=9, cumsum keeps larger windows).
+        # Integer sums are fold-order-exact, so the two paths are
+        # bit-identical by construction.
+        sums = padded[:, :n].copy()
+        for k in range(1, window):
+            sums += padded[:, k : k + n]
+        np.multiply(sums, 2, out=sums)
+        sums += window
+        sums //= 2 * window
+        return sums.astype(np.int32, copy=False)
     np.cumsum(padded, axis=1, out=padded)
     # c[j] = sum(p[:j+1]); window sum_j = c[j+w-1] - (c[j-1] if j else 0)
     sums = np.empty((m, n), dtype=dt)
